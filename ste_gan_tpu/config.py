@@ -1,0 +1,267 @@
+"""Typed configuration system.
+
+Replaces the reference's three-file OmegaConf merge
+(reference: ste_gan/train_utils.py:204-235) with plain dataclasses + PyYAML:
+a base training config, a data config, and an EMG-encoder config merge into a
+single :class:`Config`. CLI overrides keep the reference semantics
+(reference: ste_gan/train_utils.py:48-91): negative numeric / blank string
+means "keep the config value", and a loss weight below 1e-3 disables that
+loss term entirely.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import yaml
+
+from ste_gan_tpu import constants as C
+
+
+def _asdict(obj) -> Dict[str, Any]:
+    return dataclasses.asdict(obj)
+
+
+@dataclass
+class ModelConfig:
+    type: str = "EMGGeneratorGanTTS"
+    #: DataType.SPEECH_UNITS (50 Hz x 256) or DataType.MFCCS (100 Hz x 25).
+    speech_feature_type: str = C.DataType.SPEECH_UNITS
+    discriminator_small: bool = True
+    #: Extra kwargs forwarded to the generator constructor.
+    params: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class DataConfig:
+    dataset_root: str = "data/gaddy_complete"
+    name: str = "gaddy_voiced"
+    num_emg_sessions: int = C.NUM_EMG_SESSIONS
+    num_emg_channels: int = C.NUM_EMG_CHANNELS
+    requires_activation: str = "tanh"
+    strict: bool = False
+
+
+@dataclass
+class EMGEncoderConfig:
+    type: str = "EMGEncoderTransformer"
+    params: Dict[str, Any] = field(default_factory=lambda: dict(
+        model_size=768,
+        num_extra_res_blocks=3,
+        dropout=0.2,
+        num_transformer_layers=6,
+    ))
+
+
+@dataclass
+class TrainConfig:
+    random_seed: int = 0
+    debug: bool = False
+
+    # Adversarial loss type: "mse" | "" (disabled).
+    loss_adversarial: str = C.LOSS_ADVERSARIAL
+
+    # bf16 compute inside the fused step (the TPU analogue of the
+    # reference's fp16 AMP + GradScaler; no loss scaling is needed).
+    mixed_precision: bool = True
+
+    loss_speech_unit_error: bool = C.LOSS_SPEECH_UNIT_ERROR
+    loss_speech_unit_weight: float = C.LOSS_SPEECH_UNIT_WEIGHT
+    loss_phoneme_error: bool = C.LOSS_PHONEMES_ERROR
+    loss_phoneme_weight: float = C.LOSS_PHONEMES_WEIGHT
+    loss_multi_td_error: bool = C.LOSS_MULTI_TD_ERROR
+    loss_multi_td_weight: float = C.LOSS_MULTI_TD_ERROR_WEIGHT
+    loss_feat_match_error: bool = C.LOSS_FEAT_MATCH
+    loss_feat_match_weight: float = C.LOSS_FEAT_MATCH_WEIGHT
+    loss_waveform_error: bool = C.LOSS_WAVEFORM_ERROR
+    loss_waveform_weight: float = 0.0
+
+    batch_size: int = C.BATCH_SIZE
+    chunk_size: int = C.CHUNK_SIZE
+    max_steps: int = 25_000
+
+    interval_log: int = C.INTERVAL_LOG
+    interval_sample: int = C.INTERVAL_SAMPLE
+    interval_save: int = 10_000
+    interval_valid: int = C.INTERVAL_VALID
+    interval_waveform: int = C.INTERVAL_WAVEFORM
+    interval_plot: int = C.INTERVAL_PLOT
+    num_test_samples: int = C.NUM_TEST_SAMPLES
+
+    # --- TPU-native additions (no reference analogue) ---
+    #: Learning rate (AdamW); reference hard-codes 2e-4.
+    learning_rate: float = C.OPTIMIZER_LR
+    adam_b1: float = C.OPTIMIZER_BETAS[0]
+    adam_b2: float = C.OPTIMIZER_BETAS[1]
+    lr_decay_gamma: float = C.LR_DECAY_GAMMA
+    #: Size of the data-parallel mesh axis; <=0 means "all local devices".
+    data_parallel: int = -1
+    #: Host prefetch depth for the input pipeline.
+    prefetch: int = 2
+
+
+@dataclass
+class Config:
+    model_base_dir: str = "exp/ste-gan"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    emg_encoder: EMGEncoderConfig = field(default_factory=EMGEncoderConfig)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return _asdict(self)
+
+    def to_yaml(self) -> str:
+        return yaml.safe_dump(self.to_dict(), sort_keys=False)
+
+    def save(self, path: Path) -> None:
+        Path(path).write_text(self.to_yaml())
+
+    @property
+    def speech_input_dim(self) -> int:
+        if self.model.speech_feature_type == C.DataType.SPEECH_UNITS:
+            return C.SPEECH_UNITS_FEAT_SIZE
+        if self.model.speech_feature_type == C.DataType.MFCCS:
+            return C.NUM_MFCCS
+        raise ValueError(
+            f"Unrecognized speech feature type: {self.model.speech_feature_type}")
+
+
+def _update_dataclass(dc, data: Dict[str, Any]):
+    """Recursively overlay a dict onto a dataclass instance (unknown keys kept
+    only for dict-typed fields; unknown scalar keys raise)."""
+    names = {f.name for f in dataclasses.fields(dc)}
+    for key, value in (data or {}).items():
+        if key not in names:
+            raise KeyError(f"Unknown config key '{key}' for {type(dc).__name__}")
+        current = getattr(dc, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            _update_dataclass(current, value)
+        else:
+            setattr(dc, key, value)
+    return dc
+
+
+def config_from_dict(data: Dict[str, Any]) -> Config:
+    cfg = Config()
+    _update_dataclass(cfg, data)
+    return cfg
+
+
+def load_yaml(path) -> Dict[str, Any]:
+    with open(path) as fp:
+        return yaml.safe_load(fp) or {}
+
+
+def load_config(
+    config: Optional[str] = None,
+    data: Optional[str] = None,
+    emg_enc_cfg: Optional[str] = None,
+    args: Optional[argparse.Namespace] = None,
+    override_with_eval_args: bool = True,
+) -> Config:
+    """Three-file YAML merge + optional CLI overrides.
+
+    Mirrors reference load_config (ste_gan/train_utils.py:204-235): the base
+    config supplies ``model``/``train``/``model_base_dir``, the data config
+    becomes ``data``, and the encoder config becomes ``emg_encoder``.
+    """
+    if args is not None:
+        config = config or getattr(args, "config", None)
+        data = data or getattr(args, "data", None)
+        emg_enc_cfg = emg_enc_cfg or getattr(args, "emg_enc_cfg", None)
+
+    merged: Dict[str, Any] = {}
+    if config:
+        merged.update(load_yaml(config))
+    if data:
+        merged["data"] = load_yaml(data)
+    if emg_enc_cfg:
+        merged["emg_encoder"] = load_yaml(emg_enc_cfg)
+
+    cfg = config_from_dict(merged)
+    if args is not None and override_with_eval_args:
+        apply_cli_overrides(cfg, args)
+    return cfg
+
+
+def apply_cli_overrides(cfg: Config, args: argparse.Namespace) -> Config:
+    """Apply CLI overrides with reference semantics
+    (reference: ste_gan/train_utils.py:48-91)."""
+    t = cfg.train
+
+    def _maybe(name, attr, pred):
+        val = getattr(args, name, None)
+        if val is not None and pred(val):
+            setattr(t, attr, val)
+
+    _maybe("weight_su", "loss_speech_unit_weight", lambda v: v >= 0.0)
+    _maybe("weight_phoneme", "loss_phoneme_weight", lambda v: v >= 0.0)
+    _maybe("weight_td", "loss_multi_td_weight", lambda v: v >= 0.0)
+    _maybe("weight_feat_match", "loss_feat_match_weight", lambda v: v >= 0.0)
+    _maybe("chunk_size", "chunk_size", lambda v: v > 0)
+    _maybe("batch_size", "batch_size", lambda v: v > 0)
+    _maybe("max_steps", "max_steps", lambda v: v > 0)
+
+    sft = getattr(args, "speech_feature_type", "") or ""
+    if sft.strip():
+        cfg.model.speech_feature_type = sft.strip()
+
+    # A weight below 1e-3 disables the corresponding loss term.
+    if t.loss_speech_unit_weight < 0.001:
+        t.loss_speech_unit_error = False
+    if t.loss_phoneme_weight < 0.001:
+        t.loss_phoneme_error = False
+    return cfg
+
+
+def add_eval_hyperparams_to_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    """CLI flags mirroring the reference's override surface
+    (reference: ste_gan/train_utils.py:140-190)."""
+    parser.add_argument("--weight_su", type=float, default=-1.0,
+                        help="Speech-unit loss weight (<0 keeps config value).")
+    parser.add_argument("--weight_phoneme", type=float, default=-1.0,
+                        help="Phoneme loss weight (<0 keeps config value).")
+    parser.add_argument("--weight_td", type=float, default=-1.0,
+                        help="Multi-time-domain loss weight (<0 keeps config value).")
+    parser.add_argument("--weight_feat_match", type=float, default=-1.0,
+                        help="Feature-matching loss weight (<0 keeps config value).")
+    parser.add_argument("--speech_feature_type", type=str, default="",
+                        help="Generator input feature DataType (blank keeps config).")
+    parser.add_argument("--chunk_size", type=int, default=-1,
+                        help="EMG samples per training chunk (<0 keeps config value).")
+    parser.add_argument("--batch_size", type=int, default=-1,
+                        help="Global batch size (<0 keeps config value).")
+    parser.add_argument("--max_steps", type=int, default=-1,
+                        help="Maximum training steps (<0 keeps config value).")
+    return parser
+
+
+def create_ste_gan_model_name(cfg: Config, add_timestamp: bool = True,
+                              debug: bool = False, note: str = "") -> str:
+    """Hyperparameter-encoding run-directory name
+    (reference: ste_gan/train_utils.py:107-137)."""
+    import time as _time
+
+    if note:
+        note += "_"
+    t = cfg.train
+    use_adv_str = "with_adv_loss" if t.loss_adversarial else "no_adv_loss"
+    debug_str = "DEBUG_" if debug else ""
+    timestamp_str = "" if (debug or not add_timestamp) else _time.strftime("%Y%m%d-%H%M%S") + "_"
+    small_dis = "small_dis" if cfg.model.discriminator_small else "full_dis"
+    return (
+        f"{note}{debug_str}{timestamp_str}{cfg.data.name}_{cfg.model.type}_"
+        f"{cfg.model.speech_feature_type}_{small_dis}_chunk_{t.chunk_size}_"
+        f"{use_adv_str}_fmw_{t.loss_feat_match_weight}_tdw_{t.loss_multi_td_weight}_"
+        f"suw_{t.loss_speech_unit_weight}_phw_{t.loss_phoneme_weight}_"
+        f"wv_{t.loss_waveform_weight}"
+    )
+
+
+def save_json(obj: Any, path: Path) -> None:
+    Path(path).write_text(json.dumps(obj, indent=2))

@@ -1,0 +1,111 @@
+"""Conv-transformer EMG encoder: 800 Hz EMG -> 50 Hz (Soft-SU, phoneme)
+predictions.
+
+Parity with the reference (ste_gan/models/emg_encoder.py:36-88 and
+ste_gan/layers/conv.py:106-133): four stride-2 ResBlocks (x16 downsample,
+800 Hz -> 50 Hz), a linear projection, six post-norm transformer layers
+(d=768, 8 heads, FFN 3072, dropout 0.2, relative positions clipped at 100),
+and two linear heads (256-dim speech units + 48-way phonemes). During
+training a random left-shift of 0..7 samples with zero fill augments the
+input (reference :71-75) — expressed functionally with a PRNG key here.
+
+The encoder is trained standalone (see train/encoder.py) and then frozen as
+the perceptual loss network inside the GAN step.
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ste_gan_tpu import constants as C
+from ste_gan_tpu.models.transformer import Dense, TransformerEncoderLayer
+from ste_gan_tpu.ops.conv import Conv
+
+
+class ResBlock(nn.Module):
+    """conv-BN-ReLU x2 with strided residual path
+    (reference: ste_gan/layers/conv.py:106-133)."""
+
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       dtype=self.dtype, name=name)
+        h = Conv(self.features, (3,), strides=self.stride, padding=1,
+                 dtype=self.dtype, name="conv1")(x)
+        h = nn.relu(bn("bn1")(h))
+        h = Conv(self.features, (3,), padding=1, dtype=self.dtype,
+                 name="conv2")(h)
+        h = bn("bn2")(h)
+
+        if self.stride != 1 or x.shape[-1] != self.features:
+            res = Conv(self.features, (1,), strides=self.stride,
+                       dtype=self.dtype, name="residual")(x)
+            res = bn("res_norm")(res)
+        else:
+            res = x
+        return nn.relu(h + res)
+
+
+class EMGEncoderTransformer(nn.Module):
+    """EMG [B, T, C] -> (speech units [B, T/16, 256], phoneme logits
+    [B, T/16, 48])."""
+
+    num_ins: int = C.NUM_EMG_CHANNELS
+    num_outs: int = C.SPEECH_UNITS_FEAT_SIZE
+    num_aux_outs: int = C.NUM_PHONEMES
+    model_size: int = 768
+    num_extra_res_blocks: int = 3
+    dropout: float = 0.2
+    num_transformer_layers: int = 6
+    relative_positional_distance: int = 100
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_raw, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x = x_raw.astype(self.dtype)
+        if train:
+            # Random left-shift augmentation r in [0, 8) with zero fill
+            # (reference: ste_gan/models/emg_encoder.py:71-75).
+            r = jax.random.randint(self.make_rng("shift"), (), 0, 8)
+            t = x.shape[1]
+            x = jnp.roll(x, -r, axis=1)
+            keep = jnp.arange(t)[None, :, None] < (t - r)
+            x = jnp.where(keep, x, 0.0).astype(self.dtype)
+
+        for i in range(1 + self.num_extra_res_blocks):
+            x = ResBlock(self.model_size, stride=2, dtype=self.dtype,
+                         name=f"res_block_{i}")(x, train=train)
+
+        x = Dense(self.model_size, dtype=self.dtype, name="w_raw_in")(x)
+        for i in range(self.num_transformer_layers):
+            x = TransformerEncoderLayer(
+                d_model=self.model_size, num_heads=8, dim_feedforward=3072,
+                dropout=self.dropout, relative_positional=True,
+                relative_positional_distance=self.relative_positional_distance,
+                dtype=self.dtype, name=f"transformer_{i}")(x, train=train)
+
+        units = Dense(self.num_outs, dtype=self.dtype, name="w_out")(x)
+        phonemes = Dense(self.num_aux_outs, dtype=self.dtype, name="w_aux")(x)
+        return units.astype(jnp.float32), phonemes.astype(jnp.float32)
+
+
+def init_emg_encoder(cfg, dtype=jnp.float32) -> EMGEncoderTransformer:
+    """Factory from config (reference init_emg_encoder;
+    ste_gan/models/emg_encoder.py:91-115)."""
+    if cfg.emg_encoder.type != "EMGEncoderTransformer":
+        raise ValueError(f"Unknown EMG encoder type: {cfg.emg_encoder.type}")
+    return EMGEncoderTransformer(
+        num_ins=cfg.data.num_emg_channels,
+        num_outs=C.SPEECH_UNITS_FEAT_SIZE,
+        num_aux_outs=C.NUM_PHONEMES,
+        dtype=dtype,
+        **(cfg.emg_encoder.params or {}),
+    )

@@ -1,0 +1,245 @@
+"""Convolution primitives with explicit weight- and spectral-norm
+reparameterisations, in TPU-native channel-last layout.
+
+The PyTorch reference leans on ``torch.nn.utils.weight_norm`` /
+``spectral_norm`` wrappers around ``nn.Conv1d/2d`` (reference:
+ste_gan/layers/conv.py:16,89-101). Neither has a drop-in Flax analogue with
+the exact semantics needed here (per-output-channel ``g``; persistent
+power-iteration vectors updated only on training forwards), so both are
+implemented explicitly:
+
+* :class:`WNConv` stores direction ``v`` and per-output-channel magnitude
+  ``g`` with ``w = g * v / ||v||`` (norm over all non-output axes), ``g``
+  initialised to ``||v_init||`` so the reparameterisation is the identity at
+  init.
+* :class:`SNConv` stores persistent ``u``/``v`` power-iteration vectors in a
+  ``spectral`` variable collection; one iteration runs per call when
+  ``update_stats=True`` (training), and the stored vectors are reused
+  verbatim in eval — mirroring the reference wrapper's behaviour.
+
+All convs run channel-last (``[B, *spatial, C]``, i.e. NWC / NHWC) so the
+feature axis maps onto TPU lanes and the MXU tiles the contraction; compute
+dtype is configurable (bf16 under mixed precision) with f32 parameters and
+f32 accumulation.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Padding = Union[int, Sequence[Union[int, Tuple[int, int]]]]
+
+_DIM_NUMBERS = {
+    1: ("NWC", "WIO", "NWC"),
+    2: ("NHWC", "HWIO", "NHWC"),
+}
+
+
+def _canonical_padding(padding: Padding, rank: int) -> Tuple[Tuple[int, int], ...]:
+    if isinstance(padding, int):
+        return tuple((padding, padding) for _ in range(rank))
+    out = []
+    for p in padding:
+        out.append((p, p) if isinstance(p, int) else (int(p[0]), int(p[1])))
+    if len(out) != rank:
+        raise ValueError(f"padding rank {len(out)} != spatial rank {rank}")
+    return tuple(out)
+
+
+def _torch_conv_init(fan_in: float):
+    """Uniform(-1/sqrt(fan_in), 1/sqrt(fan_in)) — the PyTorch Conv default
+    (kaiming_uniform(a=sqrt(5))), so initial weight statistics match the
+    reference's."""
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _conv(x, kernel, strides, padding, dilation, groups, dtype):
+    rank = kernel.ndim - 2
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, _DIM_NUMBERS[rank])
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        kernel.astype(dtype),
+        window_strides=strides,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=dn,
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+
+
+class _ConvBase(nn.Module):
+    features: int
+    kernel_size: Sequence[int]
+    strides: Union[int, Sequence[int]] = 1
+    padding: Padding = 0
+    dilation: Union[int, Sequence[int]] = 1
+    groups: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def _geometry(self, x):
+        rank = len(self.kernel_size)
+        if x.ndim != rank + 2:
+            raise ValueError(
+                f"expected [B, *spatial({rank}), C] input, got shape {x.shape}")
+        strides = ((self.strides,) * rank if isinstance(self.strides, int)
+                   else tuple(self.strides))
+        dilation = ((self.dilation,) * rank if isinstance(self.dilation, int)
+                    else tuple(self.dilation))
+        padding = _canonical_padding(self.padding, rank)
+        in_features = x.shape[-1]
+        if in_features % self.groups:
+            raise ValueError("input features not divisible by groups")
+        kshape = (*self.kernel_size, in_features // self.groups, self.features)
+        fan_in = (in_features // self.groups) * math.prod(self.kernel_size)
+        return strides, dilation, padding, kshape, fan_in
+
+    def _finish(self, y, fan_in):
+        if self.use_bias:
+            bias = self.param("bias", _torch_conv_init(fan_in), (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class Conv(_ConvBase):
+    """Plain convolution (used by the EMG encoder's ResBlocks, which the
+    reference leaves unnormalised; reference: ste_gan/layers/conv.py:106-133)."""
+
+    @nn.compact
+    def __call__(self, x):
+        strides, dilation, padding, kshape, fan_in = self._geometry(x)
+        kernel = self.param("kernel", _torch_conv_init(fan_in), kshape)
+        y = _conv(x, kernel, strides, padding, dilation, self.groups, self.dtype)
+        return self._finish(y, fan_in)
+
+
+def _norm_per_out_channel(v: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """L2 norm over all axes except the trailing output-channel axis."""
+    axes = tuple(range(v.ndim - 1))
+    return jnp.sqrt(jnp.sum(jnp.square(v), axis=axes) + eps)
+
+
+class WNConv(_ConvBase):
+    """Weight-normalised convolution: ``w = g * v / ||v||`` with
+    per-output-channel ``g`` (the layout-transposed equivalent of PyTorch
+    ``weight_norm(conv, dim=0)``; reference: ste_gan/layers/conv.py:16)."""
+
+    @nn.compact
+    def __call__(self, x):
+        strides, dilation, padding, kshape, fan_in = self._geometry(x)
+        v = self.param("v", _torch_conv_init(fan_in), kshape)
+        # g initialised to ||v_init|| so w == v at init, as in PyTorch.
+        g = self.param("g", lambda rng: _norm_per_out_channel(v))
+        norm = _norm_per_out_channel(v.astype(jnp.float32))
+        kernel = v * (g / norm).astype(v.dtype)
+        y = _conv(x, kernel, strides, padding, dilation, self.groups, self.dtype)
+        return self._finish(y, fan_in)
+
+
+def _l2_normalize(x, eps=1e-12):
+    return x / (jnp.linalg.norm(x) + eps)
+
+
+class SNConv(_ConvBase):
+    """Spectrally-normalised convolution with persistent power iteration.
+
+    ``u``/``v`` live in the ``spectral`` variable collection. A training call
+    (``update_stats=True``) runs one power iteration and stores the updated
+    vectors; an eval call reuses the stored vectors, exactly like the
+    reference wrapper (reference: ste_gan/layers/conv.py:93-94,100-101).
+    """
+
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = True):
+        strides, dilation, padding, kshape, fan_in = self._geometry(x)
+        kernel = self.param("kernel", _torch_conv_init(fan_in), kshape)
+        out_ch = self.features
+        rest = math.prod(kshape) // out_ch
+        # [out, rest] matrix view of the kernel (singular values are invariant
+        # to the flatten order of the non-output axes).
+        mat = kernel.reshape(rest, out_ch).T.astype(jnp.float32)
+
+        def init_u(rng):
+            return _l2_normalize(jax.random.normal(rng, (out_ch,)), self.eps)
+
+        u_var = self.variable("spectral", "u", lambda: init_u(self.make_rng("params"))
+                              if self.has_rng("params") else jnp.ones((out_ch,)) / math.sqrt(out_ch))
+        v_var = self.variable("spectral", "v",
+                              lambda: _l2_normalize(mat.T @ u_var.value, self.eps))
+
+        u = jax.lax.stop_gradient(u_var.value)
+        v = jax.lax.stop_gradient(v_var.value)
+        if update_stats:
+            v = _l2_normalize(jax.lax.stop_gradient(mat).T @ u, self.eps)
+            u = _l2_normalize(jax.lax.stop_gradient(mat) @ v, self.eps)
+            if not self.is_initializing():
+                u_var.value = u
+                v_var.value = v
+        sigma = u @ (mat @ v)
+        kernel = kernel / sigma.astype(kernel.dtype)
+        y = _conv(x, kernel, strides, padding, dilation, self.groups, self.dtype)
+        return self._finish(y, fan_in)
+
+
+# ---------------------------------------------------------------------------
+# Pooling / resampling helpers
+# ---------------------------------------------------------------------------
+
+
+def upsample_nearest(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Nearest-neighbour upsampling along time for [B, T, C]
+    (reference GBlock's nn.Upsample; ste_gan/layers/conv.py:40,55)."""
+    if factor == 1:
+        return x
+    return jnp.repeat(x, factor, axis=1)
+
+
+def avg_pool1d(x: jnp.ndarray, window: int, stride: int, padding: int = 0) -> jnp.ndarray:
+    """AvgPool1d over time for [B, T, C]; zero padding counts toward the
+    denominator (PyTorch ``count_include_pad=True`` default), matching the
+    reference's inter-scale pooling (ste_gan/models/discriminator.py:140)."""
+    summed = jax.lax.reduce_window(
+        x, jnp.array(0, x.dtype), jax.lax.add,
+        window_dimensions=(1, window, 1),
+        window_strides=(1, stride, 1),
+        padding=((0, 0), (padding, padding), (0, 0)),
+    )
+    return summed / jnp.array(window, x.dtype)
+
+
+def reflect_pad_time(x: jnp.ndarray, pad: Tuple[int, int]) -> jnp.ndarray:
+    """Reflect-pad the time axis of [B, T, C]."""
+    return jnp.pad(x, ((0, 0), pad, (0, 0)), mode="reflect")
+
+
+def moving_average(x: jnp.ndarray, window: int, pad_signal: bool = True) -> jnp.ndarray:
+    """Centered moving average over time for [B, T, C] with reflect padding.
+
+    Equivalent to the reference's AverageFilter (reflect pad + AvgPool1d
+    stride 1; ste_gan/layers/average_filter.py:10-28) but expressed as a
+    depthwise convolution so XLA fuses it with surrounding elementwise work.
+    """
+    c = x.shape[-1]
+    if pad_signal:
+        half = window // 2
+        x = reflect_pad_time(x, (half, half))
+    kernel = jnp.full((window, 1, 1), 1.0 / window, dtype=x.dtype)
+    kernel = jnp.broadcast_to(kernel, (window, 1, c))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, _DIM_NUMBERS[1])
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1,), padding=((0, 0),),
+        dimension_numbers=dn, feature_group_count=c,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)

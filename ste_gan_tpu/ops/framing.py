@@ -1,0 +1,46 @@
+"""Windowed (framed) reductions over the time axis.
+
+The reference materialises sliding windows with ``Tensor.unfold`` and then
+reduces them (reference: ste_gan/losses/time_domain_loss.py:35-49). On TPU
+that intermediate is pure HBM traffic; a framed mean/sum is exactly a
+depthwise convolution with a constant kernel, which XLA fuses with the
+surrounding elementwise ops. ``frame_reduce`` implements framed ``mean`` and
+``sum`` that way, bit-matching the unfold semantics (frame count
+``(T - window) // stride + 1``, trailing remainder dropped).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def frame_reduce(x: jnp.ndarray, window: int, stride: int, mode: str = "mean") -> jnp.ndarray:
+    """Framed reduction over time.
+
+    Args:
+        x: [B, T, C] signal.
+        window: frame length in samples.
+        stride: hop between frames.
+        mode: "mean" or "sum".
+
+    Returns:
+        [B, num_frames, C] with num_frames = (T - window) // stride + 1.
+    """
+    if mode not in ("mean", "sum"):
+        raise ValueError(f"unsupported mode: {mode}")
+    b, t, c = x.shape
+    num_frames = (t - window) // stride + 1
+    # Drop the trailing remainder exactly like unfold does, so the conv's
+    # VALID geometry matches.
+    needed = (num_frames - 1) * stride + window
+    x = x[:, :needed]
+    fill = 1.0 / window if mode == "mean" else 1.0
+    kernel = jnp.broadcast_to(
+        jnp.full((window, 1, 1), fill, dtype=x.dtype), (window, 1, c))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NWC", "WIO", "NWC"))
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride,), padding=((0, 0),),
+        dimension_numbers=dn, feature_group_count=c,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(x.dtype)
