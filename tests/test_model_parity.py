@@ -1,0 +1,135 @@
+"""Golden parity tests: our flax models vs the PyTorch reference with
+identical parameters and inputs."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from ste_gan_tpu import constants as C
+from ste_gan_tpu.models.discriminator import DiscriminatorEnsemble
+from ste_gan_tpu.models.emg_encoder import EMGEncoderTransformer
+from ste_gan_tpu.models.generator import EMGGeneratorGanTTS
+
+import param_convert as pc
+from ref_loader import import_reference
+
+
+def _np(t):
+    return t.detach().numpy().copy()
+
+
+class TestGeneratorParity:
+    @pytest.mark.parametrize("feature_type,input_dim,factor", [
+        (C.DataType.SPEECH_UNITS, 256, 16),
+        (C.DataType.MFCCS, 25, 8),
+    ])
+    def test_forward_matches_reference(self, feature_type, input_dim, factor):
+        ref_gen = import_reference("ste_gan.models.generator")
+        torch.manual_seed(0)
+        netg = ref_gen.EMGGeneratorGanTTS(
+            speech_feature_type=feature_type, speech_input_dim=input_dim,
+            num_sessions=17, num_emg_channels=8).eval()
+
+        b, t = 2, 32
+        feats = torch.randn(b, t, input_dim)
+        sess = torch.tensor([3, 11])
+        mode = torch.zeros(b, dtype=torch.long)
+        with torch.no_grad():
+            want = netg(feats, sess, mode).numpy()
+        assert want.shape == (b, factor * t, 8)
+
+        model = EMGGeneratorGanTTS(
+            speech_feature_type=feature_type, speech_input_dim=input_dim,
+            num_sessions=17, num_emg_channels=8)
+        params = pc.convert_generator(netg)
+        got = model.apply({"params": params}, jnp.asarray(_np(feats)),
+                          jnp.asarray(_np(sess)), jnp.asarray(_np(mode)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-5)
+
+    def test_param_count_matches_reference(self):
+        ref_gen = import_reference("ste_gan.models.generator")
+        torch.manual_seed(0)
+        netg = ref_gen.EMGGeneratorGanTTS(
+            speech_feature_type=C.DataType.SPEECH_UNITS, speech_input_dim=256,
+            num_sessions=17, num_emg_channels=8)
+        want = sum(p.numel() for p in netg.parameters())
+
+        model = EMGGeneratorGanTTS()
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 256)),
+                               jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
+        got = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+        assert got == want
+
+
+class TestDiscriminatorParity:
+    @pytest.mark.parametrize("small", [True, False])
+    def test_forward_matches_reference(self, small):
+        ref_disc = import_reference("ste_gan.models.discriminator")
+        torch.manual_seed(0)
+        cls = ref_disc.DiscriminatorSmall if small else ref_disc.Discriminator
+        netd = cls(num_emg_channels=8)
+        netd.train()
+
+        b, t = 2, 512
+        x = torch.randn(b, t, 8)
+        # Convert BEFORE the torch forward: the train-mode forward advances
+        # the spectral-norm power iteration in place.
+        params, spectral = pc.convert_discriminator(netd)
+        with torch.no_grad():
+            want = netd(x)
+
+        model = DiscriminatorEnsemble(num_emg_channels=8, small=small)
+        got, _ = model.apply(
+            {"params": params, "spectral": spectral}, jnp.asarray(_np(x)),
+            train=True, mutable=["spectral"])
+
+        assert len(got) == len(want) == 8
+        for disc_idx, (g_list, w_list) in enumerate(zip(got, want)):
+            assert len(g_list) == len(w_list), f"disc {disc_idx}"
+            for fmap_idx, (g, w) in enumerate(zip(g_list, w_list)):
+                w = w.numpy()
+                if w.ndim == 4:  # torch [B, C, H, W] -> ours [B, H, W, C]
+                    w = w.transpose(0, 2, 3, 1)
+                else:  # torch [B, C, T] -> ours [B, T, C]
+                    w = w.transpose(0, 2, 1)
+                assert g.shape == w.shape, f"disc {disc_idx} fmap {fmap_idx}"
+                np.testing.assert_allclose(
+                    np.asarray(g), w, rtol=1e-3, atol=1e-4,
+                    err_msg=f"disc {disc_idx} fmap {fmap_idx}")
+
+
+class TestEncoderParity:
+    @pytest.mark.parametrize("t_emg", [512, 2048])
+    def test_forward_matches_reference(self, t_emg):
+        """2048 EMG samples -> 128 frames > rel-pos window (masked path);
+        512 -> 32 frames < window (sliced path)."""
+        ref_enc = import_reference("ste_gan.models.emg_encoder")
+        torch.manual_seed(0)
+        enc = ref_enc.EMGEncoderTransformer(
+            num_ins=8, num_outs=256, num_aux_outs=48, model_size=768,
+            num_extra_res_blocks=3, dropout=0.2, num_transformer_layers=6,
+        ).eval()
+        # torch>=2.1's nn.TransformerEncoder fast-path sniffing expects
+        # attributes the reference's custom attention doesn't define.
+        for layer in enc.transformer.layers:
+            layer.self_attn.batch_first = False
+            layer.norm_first = False
+
+        b = 2
+        x = torch.randn(b, t_emg, 8)
+        with torch.no_grad():
+            want_units, want_phones = enc(x.clone())
+
+        model = EMGEncoderTransformer()
+        variables = pc.convert_emg_encoder(enc)
+        got_units, got_phones = model.apply(
+            variables, jnp.asarray(_np(x)), train=False)
+
+        assert got_units.shape == tuple(want_units.shape) == (b, t_emg // 16, 256)
+        assert got_phones.shape == tuple(want_phones.shape) == (b, t_emg // 16, 48)
+        np.testing.assert_allclose(np.asarray(got_units), want_units.numpy(),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got_phones), want_phones.numpy(),
+                                   rtol=1e-3, atol=1e-3)
