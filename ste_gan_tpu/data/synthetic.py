@@ -1,0 +1,134 @@
+"""Synthetic mini-corpus generator.
+
+The reference never ships data (the Gaddy & Klein corpus must be downloaded
+and preprocessed), and it has no test fixtures at all. This module creates a
+structurally faithful synthetic corpus with the exact invariants the real
+ETL guarantees (reference: scripts/prep_data_gaddy_and_klein.py:398-407):
+
+* ``len(emg) == 16 * len(units) == 16 * len(phonemes)`` (800 Hz vs 50 Hz),
+* ``len(mfccs) == 2 * len(units)`` (100 Hz vs 50 Hz),
+* EMG is tanh-bounded to [-1, 1] (reference :282-284),
+* utterance ids encode ``{session}__{name}__{speaking_mode}``.
+
+The signals are *correlated*: EMG channels are built from the speech-unit
+trajectory (plus phoneme-dependent tones and noise), so the encoder and GAN
+losses have real structure to learn — this makes loss-decrease integration
+tests meaningful rather than vacuous.
+
+Artifacts are written as ``.npy`` under the reference's directory layout
+(``{split}/{emg,units,phonemes,mfccs,emg_feats}/{utt_id}.npy`` plus
+``transcriptions/{utt_id}.txt``).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from ste_gan_tpu import constants as C
+
+
+def _smooth(x: np.ndarray, window: int) -> np.ndarray:
+    kernel = np.ones(window) / window
+    return np.apply_along_axis(
+        lambda s: np.convolve(s, kernel, mode="same"), 0, x)
+
+
+def synth_utterance(rng: np.random.Generator, num_frames: int,
+                    session_idx: int, num_channels: int = C.NUM_EMG_CHANNELS,
+                    silent: bool = False) -> Dict[str, np.ndarray]:
+    """Generate one utterance worth of aligned artifacts."""
+    hop = C.HOPSIZE
+    num_emg = num_frames * hop
+
+    # Phoneme segments: random lengths of 4-20 frames.
+    phonemes = np.zeros(num_frames, dtype=np.int64)
+    pos = 0
+    while pos < num_frames:
+        seg = int(rng.integers(4, 20))
+        phonemes[pos:pos + seg] = int(rng.integers(0, C.NUM_PHONEMES))
+        pos += seg
+
+    # Speech units: smooth per-phoneme anchors + low-pass noise.
+    anchors = rng.normal(0.0, 1.0, size=(C.NUM_PHONEMES, C.SPEECH_UNITS_FEAT_SIZE))
+    units = anchors[phonemes] + 0.25 * rng.normal(size=(num_frames, C.SPEECH_UNITS_FEAT_SIZE))
+    units = _smooth(units, 5).astype(np.float32)
+
+    # MFCCs at 2x the unit rate, derived from the unit trajectory.
+    mix = rng.normal(size=(C.SPEECH_UNITS_FEAT_SIZE, C.NUM_MFCCS)) / np.sqrt(C.SPEECH_UNITS_FEAT_SIZE)
+    mfccs = np.repeat(units @ mix, 2, axis=0).astype(np.float32)
+    mfccs += 0.1 * rng.normal(size=mfccs.shape).astype(np.float32)
+
+    # EMG: per-channel mixture of (a) the upsampled unit energy envelope,
+    # (b) a phoneme-dependent tone, (c) session-dependent gain, (d) noise.
+    t = np.arange(num_emg) / C.EMG_SAMPLE_RATE
+    envelope = np.repeat(np.tanh(np.abs(units[:, :num_channels])), hop, axis=0)
+    tone_freq = 40.0 + 12.0 * (np.repeat(phonemes, hop) % 7)
+    tone = np.sin(2 * np.pi * tone_freq * t)[:, None]
+    gain = 0.6 + 0.05 * session_idx / max(1, C.NUM_EMG_SESSIONS)
+    noise = rng.normal(0.0, 0.15, size=(num_emg, num_channels))
+    emg = np.tanh(gain * envelope * tone + noise).astype(np.float32)
+
+    # Frame-level EMG features at 100 Hz (placeholder statistics with the
+    # right shape: [frames_100hz, channels, 6]).
+    n100 = num_frames * 2
+    emg_feats = emg[: n100 * (hop // 2)].reshape(n100, hop // 2, num_channels)
+    emg_feats = np.stack([
+        emg_feats.mean(1), np.square(emg_feats).sum(1),
+        np.square(np.abs(emg_feats)).sum(1), np.abs(emg_feats).mean(1),
+        (np.diff(np.signbit(emg_feats), axis=1) != 0).mean(1).astype(np.float32),
+        np.abs(emg_feats).max(1),
+    ], axis=-1).astype(np.float32)
+
+    return {
+        "emg": emg,
+        "units": units,
+        "phonemes": phonemes,
+        "mfccs": mfccs,
+        "emg_feats": emg_feats,
+        "transcription": "synthetic utterance " + " ".join(
+            C.PHONEME_INVENTORY[p] for p in phonemes[::16][:8]),
+    }
+
+
+def generate_synthetic_corpus(
+    root: Path,
+    num_train: int = 24,
+    num_valid: int = 6,
+    num_test: int = 4,
+    num_sessions: int = 4,
+    min_frames: int = 130,
+    max_frames: int = 260,
+    seed: int = 0,
+    silent_fraction: float = 0.0,
+    num_channels: int = C.NUM_EMG_CHANNELS,
+) -> Path:
+    """Write a synthetic corpus under ``root`` and return it."""
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+    counts = {"train": num_train, "valid": num_valid, "test": num_test}
+    utt_counter = 0
+    for split, count in counts.items():
+        dirs = {}
+        for sub in (C.DataDir.EMG, C.DataDir.SPEECH_UNITS, C.DataDir.PHONEMES,
+                    C.DataDir.MFCCS, C.DataDir.EMG_FEATS, C.DataDir.TRANSCRIPTIONS):
+            dirs[sub] = root / split / sub
+            dirs[sub].mkdir(parents=True, exist_ok=True)
+        for _ in range(count):
+            session_idx = int(rng.integers(0, num_sessions))
+            silent = bool(rng.random() < silent_fraction)
+            mode = C.SpeakingMode.SILENT if silent else C.SpeakingMode.NORMAL
+            num_frames = int(rng.integers(min_frames, max_frames))
+            utt = synth_utterance(rng, num_frames, session_idx,
+                                  num_channels=num_channels, silent=silent)
+            utt_id = f"sess{session_idx:02d}__utt{utt_counter:05d}__{mode}"
+            utt_counter += 1
+            np.save(dirs[C.DataDir.EMG] / f"{utt_id}.npy", utt["emg"])
+            np.save(dirs[C.DataDir.SPEECH_UNITS] / f"{utt_id}.npy", utt["units"])
+            np.save(dirs[C.DataDir.PHONEMES] / f"{utt_id}.npy", utt["phonemes"])
+            np.save(dirs[C.DataDir.MFCCS] / f"{utt_id}.npy", utt["mfccs"])
+            np.save(dirs[C.DataDir.EMG_FEATS] / f"{utt_id}.npy", utt["emg_feats"])
+            (dirs[C.DataDir.TRANSCRIPTIONS] / f"{utt_id}.txt").write_text(
+                utt["transcription"])
+    return root

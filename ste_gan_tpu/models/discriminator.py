@@ -146,12 +146,17 @@ class DiscriminatorEnsemble(nn.Module):
     num_multi_pool: int = 5
     num_multi_scale: int = 3
     dtype: Any = jnp.float32
+    #: Optional layer-spec overrides (tiny configs for tests / ablations).
+    period_spec_override: Any = None
+    scale_spec_override: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True) -> List[List[jnp.ndarray]]:
         x = x.astype(self.dtype)
-        period_spec = SMALL_PERIOD_SPEC if self.small else FULL_PERIOD_SPEC
-        scale_spec = SMALL_SCALE_SPEC if self.small else FULL_SCALE_SPEC
+        period_spec = self.period_spec_override or (
+            SMALL_PERIOD_SPEC if self.small else FULL_PERIOD_SPEC)
+        scale_spec = self.scale_spec_override or (
+            SMALL_SCALE_SPEC if self.small else FULL_SCALE_SPEC)
 
         results = []
         for i in range(self.num_multi_pool):

@@ -65,6 +65,8 @@ class EMGEncoderTransformer(nn.Module):
     num_extra_res_blocks: int = 3
     dropout: float = 0.2
     num_transformer_layers: int = 6
+    num_heads: int = 8
+    dim_feedforward: int = 3072
     relative_positional_distance: int = 100
     dtype: Any = jnp.float32
 
@@ -87,7 +89,8 @@ class EMGEncoderTransformer(nn.Module):
         x = Dense(self.model_size, dtype=self.dtype, name="w_raw_in")(x)
         for i in range(self.num_transformer_layers):
             x = TransformerEncoderLayer(
-                d_model=self.model_size, num_heads=8, dim_feedforward=3072,
+                d_model=self.model_size, num_heads=self.num_heads,
+                dim_feedforward=self.dim_feedforward,
                 dropout=self.dropout, relative_positional=True,
                 relative_positional_distance=self.relative_positional_distance,
                 dtype=self.dtype, name=f"transformer_{i}")(x, train=train)

@@ -210,8 +210,10 @@ def avg_pool1d(x: jnp.ndarray, window: int, stride: int, padding: int = 0) -> jn
     """AvgPool1d over time for [B, T, C]; zero padding counts toward the
     denominator (PyTorch ``count_include_pad=True`` default), matching the
     reference's inter-scale pooling (ste_gan/models/discriminator.py:140)."""
+    # NB: the init value must be a literal zero for XLA to lower this to the
+    # (differentiable) reduce-window-sum special case.
     summed = jax.lax.reduce_window(
-        x, jnp.array(0, x.dtype), jax.lax.add,
+        x, 0.0 if jnp.issubdtype(x.dtype, jnp.floating) else 0, jax.lax.add,
         window_dimensions=(1, window, 1),
         window_strides=(1, stride, 1),
         padding=((0, 0), (padding, padding), (0, 0)),

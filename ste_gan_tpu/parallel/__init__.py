@@ -1,0 +1,6 @@
+from ste_gan_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    create_mesh,
+    replicate,
+    shard_batch,
+)

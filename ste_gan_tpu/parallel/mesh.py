@@ -1,0 +1,59 @@
+"""Device mesh and sharding helpers.
+
+The reference is strictly single-device (no DDP/NCCL anywhere; see SURVEY.md
+§2.3-2.4). Here data parallelism is first-class: a 1-D ``data`` mesh, batches
+sharded on their leading axis, parameters replicated, and the fused train
+step jit-compiled over the mesh so XLA inserts the gradient all-reduces over
+ICI. The mesh keeps a named axis so tensor/sequence-parallel axes can be
+added later without touching call sites.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(data_parallel: int = -1,
+                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data-parallel mesh over the first ``data_parallel`` devices
+    (all local devices when <= 0)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = data_parallel if data_parallel > 0 else len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """device_put every array leaf with its batch axis sharded over ``data``.
+
+    Non-array leaves (None, strings) pass through untouched.
+    """
+    sharding = batch_sharding(mesh)
+
+    def put(leaf):
+        if leaf is None or not hasattr(leaf, "shape"):
+            return leaf
+        return jax.device_put(leaf, sharding)
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a pytree (parameters, optimizer state) across the mesh."""
+    sharding = replicate_sharding(mesh)
+    return jax.tree.map(lambda leaf: jax.device_put(leaf, sharding), tree)

@@ -1,0 +1,267 @@
+"""The fused adversarial train step.
+
+The reference executes, per iteration (ste_gan/train.py:165-268): generator
+forward; discriminator forward on detached fake + real; D backward + AdamW
+step; discriminator forward on fake + real again *with the updated D*;
+generator loss (adversarial MSE + 15x multi-TD + 1x speech-unit + 1x phoneme
++ 7x feature-matching [+ optional waveform MSE]); G backward + AdamW step —
+with dozens of host syncs (``.item()``) along the way.
+
+Here the whole sequence is ONE jit-compiled, data-parallel XLA program:
+
+* the generator forward runs once, through ``jax.vjp`` — the D step uses the
+  (gradient-stopped) fake, and the G gradients are pulled back through the
+  saved VJP, exactly matching the reference's single-G-forward autograd
+  graph;
+* the D update happens *inside* the step, and the G loss is evaluated
+  through the freshly updated discriminator, replicating the reference's
+  update ordering;
+* spectral-norm power-iteration state threads through all four
+  discriminator forwards per step, like the reference's train-mode hooks;
+* all metrics (including phoneme counters) come back as device arrays —
+  zero host syncs inside the step;
+* both AdamW optimizers use ``optax.inject_hyperparams`` so the per-epoch
+  exponential LR decay (gamma=0.999; reference :98-104,470-472) is a host-side
+  scalar write, not a recompile.
+
+bf16 policy: parameters and optimizer states stay f32; module compute runs
+in bf16 when ``cfg.train.mixed_precision`` (the TPU replacement for fp16 AMP
++ GradScaler — bf16's range needs no loss scaling); losses reduce in f32.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ste_gan_tpu import constants as C
+from ste_gan_tpu.config import Config
+from ste_gan_tpu.losses.encoder_loss import emg_encoder_loss
+from ste_gan_tpu.losses.gan_loss import (
+    discriminator_loss, feature_matching_loss, generator_adversarial_loss)
+from ste_gan_tpu.losses.td_loss import multi_time_domain_loss
+from ste_gan_tpu.models.discriminator import init_emg_discriminators
+from ste_gan_tpu.models.emg_encoder import init_emg_encoder
+from ste_gan_tpu.models.generator import init_emg_generator
+
+
+class GANTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    gen_params: Any
+    disc_params: Any
+    disc_spectral: Any
+    opt_g: Any
+    opt_d: Any
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """AdamW(lr=2e-4, betas=(.8,.99), wd=1e-2) with an injectable learning
+    rate (reference optimizer: ste_gan/constants.py:57; torch AdamW default
+    weight decay is 1e-2)."""
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=cfg.train.learning_rate,
+        b1=cfg.train.adam_b1, b2=cfg.train.adam_b2,
+        eps=1e-8, weight_decay=1e-2,
+    )
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Host-side LR write into an inject_hyperparams state (the per-epoch
+    ExponentialLR analogue; no recompilation)."""
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+def epoch_lr(cfg: Config, epoch: int) -> float:
+    """lr * gamma^epoch, stepped per epoch like the reference scheduler."""
+    return float(cfg.train.learning_rate) * float(cfg.train.lr_decay_gamma) ** max(0, epoch)
+
+
+@dataclasses.dataclass
+class GANModels:
+    """Bundled model definitions + frozen encoder variables."""
+
+    generator: Any
+    discriminator: Any
+    encoder: Any
+    encoder_variables: Any  # frozen {'params', 'batch_stats'}
+
+    def encoder_apply(self, emg):
+        return self.encoder.apply(self.encoder_variables, emg, train=False)
+
+
+def build_models(cfg: Config, encoder_variables=None) -> GANModels:
+    dtype = jnp.bfloat16 if cfg.train.mixed_precision else jnp.float32
+    generator = init_emg_generator(cfg, dtype=dtype)
+    discriminator = init_emg_discriminators(cfg, dtype=dtype)
+    encoder = init_emg_encoder(cfg, dtype=dtype)
+    return GANModels(generator, discriminator, encoder, encoder_variables)
+
+
+def init_state(cfg: Config, models: GANModels, rng: jax.Array) -> GANTrainState:
+    feat_dim = (C.SPEECH_UNITS_FEAT_SIZE
+                if cfg.model.speech_feature_type == C.DataType.SPEECH_UNITS
+                else C.NUM_MFCCS)
+    frames = cfg.train.chunk_size // C.HOPSIZE
+    if cfg.model.speech_feature_type == C.DataType.MFCCS:
+        # MFCCs run at 2x the speech-unit rate (100 Hz vs 50 Hz).
+        frames *= 2
+    rng_g, rng_d = jax.random.split(rng)
+    feats = jnp.zeros((1, frames, feat_dim))
+    ids = jnp.zeros((1,), jnp.int32)
+    gen_vars = models.generator.init(rng_g, feats, ids, ids)
+    emg = jnp.zeros((1, cfg.train.chunk_size, cfg.data.num_emg_channels))
+    disc_vars = models.discriminator.init(rng_d, emg, train=False)
+
+    opt = make_optimizer(cfg)
+    return GANTrainState(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=gen_vars["params"],
+        disc_params=disc_vars["params"],
+        disc_spectral=disc_vars["spectral"],
+        opt_g=opt.init(gen_vars["params"]),
+        opt_d=opt.init(disc_vars["params"]),
+    )
+
+
+def make_train_step(cfg: Config, models: GANModels) -> Callable:
+    """Returns the jit-able fused step:
+    (state, batch) -> (new_state, metrics)."""
+    t = cfg.train
+    use_adv = bool(t.loss_adversarial)
+    use_fm = bool(t.loss_feat_match_error)
+    use_td = bool(t.loss_multi_td_error)
+    use_su = bool(t.loss_speech_unit_error)
+    use_ph = bool(t.loss_phoneme_error)
+    use_wave = bool(t.loss_waveform_error)
+    optimizer = make_optimizer(cfg)
+    feature_key = cfg.model.speech_feature_type
+
+    def disc_apply(params, spectral, x):
+        fmaps, mutated = models.discriminator.apply(
+            {"params": params, "spectral": spectral}, x, train=True,
+            mutable=["spectral"])
+        return fmaps, mutated["spectral"]
+
+    def train_step(state: GANTrainState, batch: Dict[str, jnp.ndarray]
+                   ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+        real = batch[C.DataType.REAL_EMG].astype(jnp.float32)
+        feats = batch[feature_key]
+        speech_units = batch[C.DataType.SPEECH_UNITS]
+        phoneme_targets = batch[C.DataType.PHONEMES]
+        sess_idx = batch[C.DataType.SESSION_INDEX]
+        mode_idx = batch[C.DataType.SPEAKING_MODE_INDEX]
+
+        metrics: Dict[str, jnp.ndarray] = {}
+
+        # ---- Generator forward, once, VJP saved for the G update. ----
+        def gen_fwd(gen_params):
+            return models.generator.apply(
+                {"params": gen_params}, feats, sess_idx, mode_idx)
+
+        fake, gen_vjp = jax.vjp(gen_fwd, state.gen_params)
+
+        # ---- Discriminator update (on detached fake). ----
+        if use_adv:
+            def d_loss_fn(disc_params, spectral):
+                fmaps_fake, spectral = disc_apply(
+                    disc_params, spectral, jax.lax.stop_gradient(fake))
+                fmaps_real, spectral = disc_apply(disc_params, spectral, real)
+                return discriminator_loss(fmaps_fake, fmaps_real), spectral
+
+            (loss_d, spectral), grads_d = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.disc_params, state.disc_spectral)
+            updates_d, opt_d = optimizer.update(
+                grads_d, state.opt_d, state.disc_params)
+            disc_params = optax.apply_updates(state.disc_params, updates_d)
+            metrics["loss/discriminator"] = loss_d
+        else:
+            disc_params, spectral, opt_d = (
+                state.disc_params, state.disc_spectral, state.opt_d)
+
+        # ---- Generator losses through the *updated* discriminator. ----
+        def g_loss_fn(fake_in, spectral):
+            loss = jnp.zeros((), jnp.float32)
+            aux: Dict[str, jnp.ndarray] = {}
+            if use_adv or use_fm:
+                fmaps_fake, spectral = disc_apply(disc_params, spectral, fake_in)
+                fmaps_real, spectral = disc_apply(disc_params, spectral, real)
+            if use_adv:
+                adv = generator_adversarial_loss(fmaps_fake)
+                loss += adv
+                aux["loss/adversarial"] = adv
+            if use_td:
+                td = multi_time_domain_loss(real, fake_in)
+                loss += t.loss_multi_td_weight * td
+                aux["loss/multi_td"] = td
+            if use_su or use_ph:
+                su_loss, ph_loss, counts = emg_encoder_loss(
+                    models.encoder_apply, fake_in, speech_units, phoneme_targets)
+                if use_su:
+                    loss += t.loss_speech_unit_weight * su_loss
+                    aux["loss/speech_unit"] = su_loss
+                if use_ph:
+                    loss += t.loss_phoneme_weight * ph_loss
+                    aux["loss/phoneme"] = ph_loss
+                aux.update({f"count/{k}": v for k, v in counts.items()})
+            if use_wave:
+                wave = jnp.mean(jnp.square(fake_in - real))
+                loss += t.loss_waveform_weight * wave
+                aux["loss/waveform"] = wave
+            if use_fm:
+                fm = feature_matching_loss(fmaps_fake, fmaps_real)
+                loss += t.loss_feat_match_weight * fm
+                aux["loss/feature_matching"] = fm
+            return loss, (aux, spectral)
+
+        (loss_g, (aux, spectral)), fake_grad = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(fake, spectral)
+        (grads_g,) = gen_vjp(fake_grad)
+        updates_g, opt_g = optimizer.update(grads_g, state.opt_g, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, updates_g)
+
+        metrics["loss/generator"] = loss_g
+        metrics.update(aux)
+
+        new_state = GANTrainState(
+            step=state.step + 1,
+            gen_params=gen_params,
+            disc_params=disc_params,
+            disc_spectral=spectral,
+            opt_g=opt_g,
+            opt_d=opt_d,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: Config, models: GANModels) -> Callable:
+    """Validation metrics for one batch (reference: ste_gan/train.py:311-341):
+    waveform MSE, multi-TD error, speech-unit / phoneme losses, and phoneme
+    counters — all device arrays, jit-able, no parameter updates."""
+    feature_key = cfg.model.speech_feature_type
+
+    def eval_step(gen_params, batch) -> Dict[str, jnp.ndarray]:
+        real = batch[C.DataType.REAL_EMG].astype(jnp.float32)
+        fake = models.generator.apply(
+            {"params": gen_params}, batch[feature_key],
+            batch[C.DataType.SESSION_INDEX], batch[C.DataType.SPEAKING_MODE_INDEX])
+        su_loss, ph_loss, counts = emg_encoder_loss(
+            models.encoder_apply, fake,
+            batch[C.DataType.SPEECH_UNITS], batch[C.DataType.PHONEMES])
+        out = {
+            "val/waveform": jnp.mean(jnp.square(fake - real)),
+            "val/multi_td": multi_time_domain_loss(real, fake),
+            "val/speech_unit": su_loss,
+            "val/phoneme": ph_loss,
+        }
+        out.update({f"count/{k}": v for k, v in counts.items()})
+        return out
+
+    return eval_step

@@ -1,0 +1,158 @@
+"""Integration tests for the fused GAN train step: single-device loss
+decrease and 8-device data-parallel execution on the virtual CPU mesh."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ste_gan_tpu import constants as C
+from ste_gan_tpu.config import Config
+from ste_gan_tpu.data.collate import ste_gan_collate
+from ste_gan_tpu.data.synthetic import generate_synthetic_corpus
+from ste_gan_tpu.data.dataset import EMGDataset
+from ste_gan_tpu.models.discriminator import DiscriminatorEnsemble
+from ste_gan_tpu.models.emg_encoder import EMGEncoderTransformer
+from ste_gan_tpu.models.generator import EMGGeneratorGanTTS
+from ste_gan_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from ste_gan_tpu.train.gan import (
+    GANModels, build_models, epoch_lr, init_state, make_eval_step,
+    make_train_step, set_learning_rate)
+
+TINY_PERIOD_SPEC = ((8, 3, 1, 2), (16, 3, 3, 2))
+TINY_SCALE_SPEC = ((8, 15, 1, 1, 7), (16, 5, 2, 4, 2))
+
+
+def tiny_cfg() -> Config:
+    cfg = Config()
+    cfg.train.chunk_size = 512
+    cfg.train.batch_size = 8
+    cfg.train.mixed_precision = False
+    cfg.model.params = {"channels": 32}
+    cfg.emg_encoder.params = {
+        "model_size": 32, "num_extra_res_blocks": 3,
+        "num_transformer_layers": 1, "dropout": 0.0,
+    }
+    cfg.data.num_emg_sessions = 4
+    return cfg
+
+
+def tiny_models(cfg, rng) -> GANModels:
+    generator = EMGGeneratorGanTTS(num_sessions=4, channels=32)
+    discriminator = DiscriminatorEnsemble(
+        num_multi_pool=2, num_multi_scale=2,
+        period_spec_override=TINY_PERIOD_SPEC,
+        scale_spec_override=TINY_SCALE_SPEC)
+    encoder = EMGEncoderTransformer(
+        model_size=32, num_extra_res_blocks=3, num_transformer_layers=1,
+        num_heads=4, dim_feedforward=64, dropout=0.0)
+    enc_vars = encoder.init(rng, jnp.zeros((1, cfg.train.chunk_size, 8)),
+                            train=False)
+    return GANModels(generator, discriminator, encoder, enc_vars)
+
+
+def synthetic_batch(cfg, batch_size=None, seed=0):
+    rng = np.random.default_rng(seed)
+    b = batch_size or cfg.train.batch_size
+    frames = cfg.train.chunk_size // C.HOPSIZE
+    return {
+        C.DataType.REAL_EMG: jnp.asarray(
+            np.tanh(rng.normal(0, 0.4, (b, cfg.train.chunk_size, 8))), jnp.float32),
+        C.DataType.SPEECH_UNITS: jnp.asarray(
+            rng.normal(0, 1, (b, frames, 256)), jnp.float32),
+        C.DataType.PHONEMES: jnp.asarray(
+            rng.integers(0, C.NUM_PHONEMES, (b, frames)), jnp.int32),
+        C.DataType.SESSION_INDEX: jnp.asarray(rng.integers(0, 4, (b,)), jnp.int32),
+        C.DataType.SPEAKING_MODE_INDEX: jnp.zeros((b,), jnp.int32),
+    }
+
+
+class TestTrainStep:
+    def test_losses_decrease(self):
+        cfg = tiny_cfg()
+        models = tiny_models(cfg, jax.random.PRNGKey(1))
+        state = init_state(cfg, models, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(cfg, models), donate_argnums=0)
+
+        batch = synthetic_batch(cfg)
+        history = []
+        for _ in range(30):
+            state, metrics = step(state, batch)
+            history.append(float(metrics["loss/generator"]))
+        # The generator loss on a fixed batch must drop substantially.
+        assert history[-1] < history[0] * 0.8, history[::6]
+        assert int(state.step) == 30
+
+    def test_metrics_complete_and_finite(self):
+        cfg = tiny_cfg()
+        models = tiny_models(cfg, jax.random.PRNGKey(1))
+        state = init_state(cfg, models, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(cfg, models))
+        _, metrics = step(state, synthetic_batch(cfg))
+        for key in ("loss/generator", "loss/discriminator", "loss/multi_td",
+                    "loss/speech_unit", "loss/phoneme", "loss/feature_matching",
+                    "loss/adversarial", "count/num_phones", "count/num_correct"):
+            assert key in metrics, key
+            assert np.isfinite(float(metrics[key])), key
+        frames = cfg.train.chunk_size // C.HOPSIZE
+        assert int(metrics["count/num_phones"]) == cfg.train.batch_size * frames
+
+    def test_spectral_state_updates(self):
+        cfg = tiny_cfg()
+        models = tiny_models(cfg, jax.random.PRNGKey(1))
+        state = init_state(cfg, models, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(cfg, models))
+        new_state, _ = step(state, synthetic_batch(cfg))
+        before = jax.tree.leaves(state.disc_spectral)[0]
+        after = jax.tree.leaves(new_state.disc_spectral)[0]
+        assert not np.allclose(before, after)
+
+    def test_lr_schedule_injection(self):
+        cfg = tiny_cfg()
+        models = tiny_models(cfg, jax.random.PRNGKey(1))
+        state = init_state(cfg, models, jax.random.PRNGKey(0))
+        assert np.isclose(epoch_lr(cfg, 0), cfg.train.learning_rate)
+        assert np.isclose(epoch_lr(cfg, 10),
+                          cfg.train.learning_rate * 0.999 ** 10)
+        opt_g = set_learning_rate(state.opt_g, epoch_lr(cfg, 10))
+        assert np.isclose(float(opt_g.hyperparams["learning_rate"]),
+                          cfg.train.learning_rate * 0.999 ** 10)
+
+
+class TestDataParallel:
+    def test_sharded_step_matches_single_device(self):
+        cfg = tiny_cfg()
+        models = tiny_models(cfg, jax.random.PRNGKey(1))
+        state = init_state(cfg, models, jax.random.PRNGKey(0))
+        batch = synthetic_batch(cfg)
+        step = make_train_step(cfg, models)
+
+        # Single device.
+        s1, m1 = jax.jit(step)(state, batch)
+
+        # 8-device mesh: params replicated, batch sharded.
+        mesh = create_mesh(8)
+        state_r = replicate(mesh, state)
+        batch_s = shard_batch(mesh, batch)
+        s8, m8 = jax.jit(step)(state_r, batch_s)
+
+        np.testing.assert_allclose(float(m1["loss/generator"]),
+                                   float(m8["loss/generator"]), rtol=2e-4)
+        np.testing.assert_allclose(float(m1["loss/discriminator"]),
+                                   float(m8["loss/discriminator"]), rtol=2e-4)
+        # Updated parameters agree across the two executions.
+        l1 = jax.tree.leaves(s1.gen_params)[0]
+        l8 = jax.tree.leaves(s8.gen_params)[0]
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l8),
+                                   rtol=1e-3, atol=1e-6)
+
+    def test_eval_step(self):
+        cfg = tiny_cfg()
+        models = tiny_models(cfg, jax.random.PRNGKey(1))
+        state = init_state(cfg, models, jax.random.PRNGKey(0))
+        eval_step = jax.jit(make_eval_step(cfg, models))
+        metrics = eval_step(state.gen_params, synthetic_batch(cfg))
+        for key in ("val/waveform", "val/multi_td", "val/speech_unit",
+                    "val/phoneme", "count/num_phones"):
+            assert np.isfinite(float(metrics[key])), key
