@@ -34,6 +34,9 @@ class ModelConfig:
     discriminator_small: bool = True
     #: Extra kwargs forwarded to the generator constructor.
     params: Dict[str, Any] = field(default_factory=dict)
+    #: Extra kwargs forwarded to the discriminator ensemble (e.g.
+    #: num_multi_pool / num_multi_scale; no reference analogue).
+    discriminator_params: Dict[str, Any] = field(default_factory=dict)
 
 
 @dataclass

@@ -181,4 +181,5 @@ def init_emg_discriminators(cfg, dtype=jnp.float32) -> DiscriminatorEnsemble:
         num_emg_channels=cfg.data.num_emg_channels,
         small=bool(cfg.model.discriminator_small),
         dtype=dtype,
+        **(getattr(cfg.model, "discriminator_params", None) or {}),
     )

@@ -41,16 +41,28 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """device_put every array leaf with its batch axis sharded over ``data``.
 
-    Non-array leaves (None, strings) pass through untouched.
+    Leaves whose leading axis is not divisible by the mesh (e.g. a short
+    validation batch) are replicated instead — correct, just not
+    parallelised. Non-array leaves (None, strings) pass through untouched.
     """
-    sharding = batch_sharding(mesh)
+    sharded = batch_sharding(mesh)
+    replicated = replicate_sharding(mesh)
 
     def put(leaf):
         if leaf is None or not hasattr(leaf, "shape"):
             return leaf
-        return jax.device_put(leaf, sharding)
+        ok = leaf.ndim > 0 and leaf.shape[0] % mesh.size == 0
+        return jax.device_put(leaf, sharded if ok else replicated)
 
     return jax.tree.map(put, batch)
+
+
+def largest_divisor_mesh_size(batch_size: int, requested: int) -> int:
+    """Largest mesh size <= requested that divides the global batch."""
+    n = max(1, min(requested, batch_size))
+    while batch_size % n:
+        n -= 1
+    return n
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

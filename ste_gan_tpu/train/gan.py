@@ -84,23 +84,23 @@ def epoch_lr(cfg: Config, epoch: int) -> float:
 
 @dataclasses.dataclass
 class GANModels:
-    """Bundled model definitions + frozen encoder variables."""
+    """Bundled model definitions. The frozen encoder's variables are passed
+    into the step explicitly (a jit argument, not a baked-in constant)."""
 
     generator: Any
     discriminator: Any
     encoder: Any
-    encoder_variables: Any  # frozen {'params', 'batch_stats'}
 
-    def encoder_apply(self, emg):
-        return self.encoder.apply(self.encoder_variables, emg, train=False)
+    def encoder_apply(self, encoder_variables, emg):
+        return self.encoder.apply(encoder_variables, emg, train=False)
 
 
-def build_models(cfg: Config, encoder_variables=None) -> GANModels:
+def build_models(cfg: Config) -> GANModels:
     dtype = jnp.bfloat16 if cfg.train.mixed_precision else jnp.float32
     generator = init_emg_generator(cfg, dtype=dtype)
     discriminator = init_emg_discriminators(cfg, dtype=dtype)
     encoder = init_emg_encoder(cfg, dtype=dtype)
-    return GANModels(generator, discriminator, encoder, encoder_variables)
+    return GANModels(generator, discriminator, encoder)
 
 
 def init_state(cfg: Config, models: GANModels, rng: jax.Array) -> GANTrainState:
@@ -148,7 +148,8 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
             mutable=["spectral"])
         return fmaps, mutated["spectral"]
 
-    def train_step(state: GANTrainState, batch: Dict[str, jnp.ndarray]
+    def train_step(state: GANTrainState, batch: Dict[str, jnp.ndarray],
+                   encoder_variables: Any,
                    ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
         real = batch[C.DataType.REAL_EMG].astype(jnp.float32)
         feats = batch[feature_key]
@@ -201,7 +202,8 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
                 aux["loss/multi_td"] = td
             if use_su or use_ph:
                 su_loss, ph_loss, counts = emg_encoder_loss(
-                    models.encoder_apply, fake_in, speech_units, phoneme_targets)
+                    lambda emg: models.encoder_apply(encoder_variables, emg),
+                    fake_in, speech_units, phoneme_targets)
                 if use_su:
                     loss += t.loss_speech_unit_weight * su_loss
                     aux["loss/speech_unit"] = su_loss
@@ -247,13 +249,13 @@ def make_eval_step(cfg: Config, models: GANModels) -> Callable:
     counters — all device arrays, jit-able, no parameter updates."""
     feature_key = cfg.model.speech_feature_type
 
-    def eval_step(gen_params, batch) -> Dict[str, jnp.ndarray]:
+    def eval_step(gen_params, batch, encoder_variables) -> Dict[str, jnp.ndarray]:
         real = batch[C.DataType.REAL_EMG].astype(jnp.float32)
         fake = models.generator.apply(
             {"params": gen_params}, batch[feature_key],
             batch[C.DataType.SESSION_INDEX], batch[C.DataType.SPEAKING_MODE_INDEX])
         su_loss, ph_loss, counts = emg_encoder_loss(
-            models.encoder_apply, fake,
+            lambda emg: models.encoder_apply(encoder_variables, emg), fake,
             batch[C.DataType.SPEECH_UNITS], batch[C.DataType.PHONEMES])
         out = {
             "val/waveform": jnp.mean(jnp.square(fake - real)),

@@ -1,0 +1,276 @@
+"""GAN training runtime (CLI).
+
+The TPU-native equivalent of ``python ste_gan/train.py`` (reference
+ste_gan/train.py:39-581), preserving its training semantics and run-dir
+protocol:
+
+* hyperparameter-encoding run directory under ``model_base_dir``;
+* ``.done`` sentinel makes finished runs idempotent; ``--continue_run``
+  resumes from the newest checkpoint in the run dir;
+* ``config.yaml`` snapshot + ``log.txt`` + TensorBoard scalars;
+* per-epoch exponential LR decay (gamma 0.999) for both optimizers;
+* validation every ``interval_valid`` steps (TD / speech-unit / phoneme /
+  waveform errors + phoneme accuracy incl./excl. silence), best checkpoint
+  by validation speech-unit error;
+* envelope sample plots every ``interval_sample`` steps;
+* periodic / final / last checkpoints (single Orbax pytree each).
+
+The execution model differs where TPU-native wins: one fused jit step per
+iteration over a data-parallel mesh, host-side prefetch, device-resident
+metric accumulation (host syncs only at logging boundaries).
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import logging
+import sys
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ste_gan_tpu import constants as C
+from ste_gan_tpu.config import (
+    Config, add_eval_hyperparams_to_parser, create_ste_gan_model_name,
+    load_config)
+from ste_gan_tpu.data.loader import Prefetcher, loaders_via_config
+from ste_gan_tpu.infer import EMGSynthesizer
+from ste_gan_tpu.parallel.mesh import (
+    create_mesh, largest_divisor_mesh_size, replicate, shard_batch)
+from ste_gan_tpu.train.checkpoint import CheckpointManager, load_pytree
+from ste_gan_tpu.train.gan import (
+    GANModels, build_models, epoch_lr, init_state, make_eval_step,
+    make_train_step, set_learning_rate)
+from ste_gan_tpu.utils.logging_utils import MetricLogger, setup_run_logging
+from ste_gan_tpu.utils.metrics import (
+    mean_error, phoneme_accuracy, phoneme_accuracy_no_silence)
+from ste_gan_tpu.utils.plotting import plot_real_vs_fake_emg_signal_with_envelope
+
+
+def load_frozen_encoder(cfg: Config, models: GANModels,
+                        emg_enc_ckpt: Optional[Path], rng: jax.Array):
+    """Initialise the frozen perceptual encoder; restore from an Orbax
+    checkpoint when given (reference load_emg_encoder;
+    ste_gan/models/emg_encoder.py:117-127)."""
+    template = models.encoder.init(
+        rng, jnp.zeros((1, cfg.train.chunk_size, cfg.data.num_emg_channels)),
+        train=False)
+    if emg_enc_ckpt:
+        logging.info("Loading EMG encoder checkpoint: %s", emg_enc_ckpt)
+        return load_pytree(Path(emg_enc_ckpt), template)
+    logging.warning(
+        "No EMG encoder checkpoint given — using a RANDOM frozen encoder. "
+        "Perceptual losses will be meaningless; pre-train one with "
+        "ste_gan_tpu.train.train_encoder.")
+    return template
+
+
+def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
+          emg_enc_ckpt: Optional[Path] = None) -> Dict[str, float]:
+    """Run adversarial training. Returns the final validation metrics."""
+    model_directory = Path(model_directory)
+    writer = MetricLogger(model_directory)
+    requested = (cfg.train.data_parallel if cfg.train.data_parallel > 0
+                 else len(jax.devices()))
+    mesh = create_mesh(largest_divisor_mesh_size(cfg.train.batch_size, requested))
+    logging.info("Mesh: %s over %d device(s)", mesh.axis_names, mesh.size)
+
+    models = build_models(cfg)
+    rng = jax.random.PRNGKey(cfg.train.random_seed)
+    rng, enc_rng, state_rng = jax.random.split(rng, 3)
+    encoder_variables = load_frozen_encoder(cfg, models, emg_enc_ckpt, enc_rng)
+
+    state = init_state(cfg, models, state_rng)
+    ckpt = CheckpointManager(model_directory)
+    start_epoch = -1
+    if resume:
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state, start_epoch = restored
+
+    logging.info("Loading data from %s", cfg.data.dataset_root)
+    train_loader, valid_loader, _ = loaders_via_config(cfg)
+    train_loader.dataset.save_session_and_speaking_mode_mapping_json(model_directory)
+
+    state = replicate(mesh, state)
+    encoder_variables = replicate(mesh, encoder_variables)
+
+    train_step = jax.jit(make_train_step(cfg, models), donate_argnums=0)
+    eval_step = jax.jit(make_eval_step(cfg, models))
+
+    synth = EMGSynthesizer(models.generator, state.gen_params, bucket=64)
+    valid_dataset = valid_loader.dataset
+
+    best_su_loss = float("inf")
+    steps = int(state.step)
+    t_cfg = cfg.train
+    log_start = time.time()
+    final_val: Dict[str, float] = {}
+
+    def run_validation(gen_params) -> Dict[str, float]:
+        errors: Dict[str, list] = {k: [] for k in (
+            "val/waveform", "val/multi_td", "val/speech_unit", "val/phoneme")}
+        counters = {k: 0 for k in (
+            "num_phones", "num_correct", "num_silence", "num_correct_no_silence")}
+        for batch in valid_loader:
+            batch = shard_batch(mesh, _drop_none(batch))
+            metrics = eval_step(gen_params, batch, encoder_variables)
+            for key in errors:
+                errors[key].append(float(metrics[key]))
+            for key in counters:
+                counters[key] += int(metrics[f"count/{key}"])
+        out = {key: mean_error(vals) for key, vals in errors.items()}
+        out["val/phoneme_accuracy_avg"] = phoneme_accuracy(
+            counters["num_phones"], counters["num_correct"])
+        out["val/phoneme_accuracy_avg_no_sil"] = phoneme_accuracy_no_silence(
+            counters["num_phones"], counters["num_correct_no_silence"],
+            counters["num_silence"])
+        return out
+
+    def plot_samples(gen_params, step: int) -> None:
+        synth.params = gen_params
+        for i in range(min(t_cfg.num_test_samples + 1, len(valid_dataset))):
+            sample = valid_dataset[i]
+            fake = synth.synthesize(
+                sample[cfg.model.speech_feature_type],
+                int(sample[C.DataType.SESSION_INDEX]),
+                int(sample[C.DataType.SPEAKING_MODE_INDEX]))
+            plot_real_vs_fake_emg_signal_with_envelope(
+                real_emg_signal=np.asarray(sample[C.DataType.REAL_EMG]),
+                fake_emg_signal=fake,
+                file_id=f"Validation sample {i}",
+                metric_logger=writer, global_step=step)
+
+    # Per-epoch accumulated phoneme counters (device arrays, no sync).
+    for epoch in itertools.count(start_epoch + 1):
+        logging.info("Starting epoch %d", epoch)
+        epoch_start = time.time()
+        lr = epoch_lr(cfg, epoch)
+        set_learning_rate(state.opt_g, lr)
+        set_learning_rate(state.opt_d, lr)
+        writer.scalar("train/lr", lr, steps)
+
+        acc = {k: 0 for k in ("num_phones", "num_correct", "num_silence",
+                              "num_correct_no_silence")}
+
+        for batch in Prefetcher(lambda: iter(train_loader), cfg.train.prefetch):
+            batch = shard_batch(mesh, _drop_none(batch))
+            state, metrics = train_step(state, batch, encoder_variables)
+            steps += 1
+
+            for key in acc:
+                acc[key] += metrics[f"count/{key}"]  # device-side, async
+
+            if steps % t_cfg.interval_log == 0:
+                host = {k: float(v) for k, v in metrics.items()
+                        if k.startswith("loss/")}
+                writer.scalars({f"train_{k}": v for k, v in host.items()}, steps)
+                acc_host = {k: int(v) for k, v in acc.items()}
+                ph_acc = phoneme_accuracy(acc_host["num_phones"],
+                                          acc_host["num_correct"])
+                ph_acc_ns = phoneme_accuracy_no_silence(
+                    acc_host["num_phones"], acc_host["num_correct_no_silence"],
+                    acc_host["num_silence"])
+                writer.scalar("train_loss/phoneme_accuracy_avg", ph_acc, steps)
+                writer.scalar("train_loss/phoneme_accuracy_avg_no_sil", ph_acc_ns, steps)
+                ms_per_batch = 1e3 * (time.time() - log_start) / t_cfg.interval_log
+                logging.info(
+                    "Epoch %d | Steps %d | ms/batch %5.2f | G %.4f | D %.4f | "
+                    "Ph.Acc %.2f | Ph.Acc(no sil) %.2f",
+                    epoch, steps, ms_per_batch, host.get("loss/generator", 0.0),
+                    host.get("loss/discriminator", 0.0), ph_acc, ph_acc_ns)
+                log_start = time.time()
+
+            if steps % t_cfg.interval_valid == 0:
+                val_start = time.time()
+                val = run_validation(state.gen_params)
+                final_val = val
+                writer.scalars(val, steps)
+                logging.info("Validation @ %d: %s (%.2fs)", steps,
+                             {k: round(v, 4) for k, v in val.items()},
+                             time.time() - val_start)
+                if val["val/speech_unit"] < best_su_loss:
+                    best_su_loss = val["val/speech_unit"]
+                    logging.info("New best val SU error %.4f — saving best",
+                                 best_su_loss)
+                    ckpt.save_best(state, epoch)
+
+            if steps % t_cfg.interval_sample == 0:
+                plot_samples(state.gen_params, steps)
+
+            if steps > 0 and steps % t_cfg.interval_save == 0:
+                ckpt.save_periodic(state, steps, epoch)
+
+            if steps >= t_cfg.max_steps or debug:
+                ckpt.save_final(state, epoch)
+                done_file = model_directory / ".done"
+                done_file.write_text(f"done: {time.time()}")
+                logging.info("Training finished at step %d (.done written)", steps)
+                writer.close()
+                return final_val
+
+        logging.info("Finished epoch %d in %.1fs", epoch,
+                     time.time() - epoch_start)
+        if epoch % 5 == 0:
+            ckpt.save_last(state, epoch)
+
+
+def _drop_none(batch: Dict) -> Dict:
+    return {k: v for k, v in batch.items() if v is not None}
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def main(args: argparse.Namespace) -> None:
+    cfg = load_config(args=args)
+
+    debug = args.debug or cfg.train.debug
+    output_directory = Path(cfg.model_base_dir) / create_ste_gan_model_name(
+        cfg, add_timestamp=False, debug=debug)
+    resume = bool(args.continue_run and output_directory.exists())
+    output_directory.mkdir(exist_ok=True, parents=True)
+    print(f"Output directory: {output_directory}")
+
+    done_file = output_directory / ".done"
+    if done_file.exists():
+        logging.warning("Exiting: '.done' exists: %s", done_file.resolve())
+        sys.exit()
+
+    config_file = output_directory / "config.yaml"
+    if not config_file.exists():
+        cfg.save(config_file)
+
+    setup_run_logging(output_directory)
+    logging.info("Config:\n%s", cfg.to_yaml())
+
+    if args.checkpoint:
+        resume = True  # explicit checkpoint dir implies resume semantics
+
+    train(cfg, output_directory, resume=resume, debug=debug,
+          emg_enc_ckpt=args.emg_enc_ckpt or None)
+
+
+def parse_args() -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", type=str, default="configs/ste_gan_base_gantts.yaml")
+    parser.add_argument("--data", type=str, default="configs/data/gaddy_and_klein_corpus.yaml")
+    parser.add_argument("--emg_enc_cfg", type=str,
+                        default="configs/emg_encoder/conv_transformer.yaml")
+    parser.add_argument("--emg_enc_ckpt", type=str, default="",
+                        help="Orbax checkpoint dir of a pre-trained EMG encoder.")
+    parser.add_argument("--checkpoint", type=Path, default=None,
+                        help="Optional checkpoint to start training from.")
+    parser.add_argument("--continue_run", action="store_true")
+    parser.add_argument("--debug", action="store_true")
+    return add_eval_hyperparams_to_parser(parser).parse_args()
+
+
+if __name__ == "__main__":
+    main(parse_args())
