@@ -1,0 +1,407 @@
+"""EMG-encoder pre-training (EMG -> Soft speech units + phonemes).
+
+The TPU-native equivalent of ``python ste_gan/emg_encoder/train.py``
+(reference ste_gan/emg_encoder/train.py:37-360), preserving semantics:
+
+* size-aware packed batches (<=128k EMG samples), window folding to
+  1600-sample windows;
+* voiced loss = 0.5 * mean pairwise speech-unit distance + 0.5 * phoneme CE,
+  averaged per sample then over the batch
+  (speech_unit_loss_combined, :91-118,146);
+* silent loss = DTW-aligned cost (:120-134) — kept off the hot path exactly
+  like the reference (voiced-only training is the default);
+* AdamW(wd=1e-5) with 500-step linear warmup to 3e-4 and
+  ReduceLROnPlateau(0.5, patience 5) on validation loss; early stop after 10
+  epochs without improvement; best + last checkpoints; 160 epochs max.
+
+TPU-native redesign: the reference's per-sample Python loss loop (:91-144)
+becomes masked segment reductions over a fixed-shape folded batch, so the
+whole update is a single jit-compiled program with static shapes; BatchNorm
+statistics and dropout/shift RNG thread explicitly.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ste_gan_tpu import constants as C
+from ste_gan_tpu import emg_encoder_constants as EC
+from ste_gan_tpu.config import Config, load_config
+from ste_gan_tpu.data.dataset import EMGDataset
+from ste_gan_tpu.losses.encoder_loss import PAIRWISE_EPS
+from ste_gan_tpu.models.emg_encoder import init_emg_encoder
+from ste_gan_tpu.ops.dtw import dtw_alignment
+from ste_gan_tpu.train.checkpoint import save_pytree
+from ste_gan_tpu.train.encoder_data import (
+    EncoderBatch, SizeAwareSampler, fold_encoder_batch, windows_needed)
+from ste_gan_tpu.utils.logging_utils import MetricLogger, setup_run_logging
+
+
+class EncoderTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+
+def voiced_batch_loss(su_pred_flat, ph_pred_flat, batch: Dict[str, jnp.ndarray],
+                      max_samples: int):
+    """Vectorised equivalent of the reference's per-sample voiced loss loop
+    (ste_gan/emg_encoder/train.py:99-118,146): per-frame speech-unit
+    distances and CE -> per-sample means via segment sums -> 0.5/0.5 mix ->
+    sum over voiced samples / total samples."""
+    sample_id = batch["frame_sample_id"]
+    valid = sample_id >= 0
+    seg = jnp.where(valid, sample_id, 0)
+
+    su_t = batch["su_targets"].astype(jnp.float32)
+    diff = su_t - su_pred_flat.astype(jnp.float32) + PAIRWISE_EPS
+    dists = jnp.sqrt(jnp.sum(jnp.square(diff), axis=-1))
+
+    logp = jax.nn.log_softmax(ph_pred_flat.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, batch["ph_targets"][:, None], axis=-1)[:, 0]
+
+    weights = valid.astype(jnp.float32)
+    counts = jax.ops.segment_sum(weights, seg, num_segments=max_samples)
+    su_mean = jax.ops.segment_sum(dists * weights, seg, max_samples) / jnp.maximum(counts, 1)
+    ce_mean = jax.ops.segment_sum(ce * weights, seg, max_samples) / jnp.maximum(counts, 1)
+
+    num_samples = batch["num_samples"].astype(jnp.float32)
+    sample_ids = jnp.arange(max_samples)
+    is_real = sample_ids < batch["num_samples"]
+    is_voiced = is_real & ~batch["silent"]
+    per_sample = (EC.LOSS_WEIGHT_SPEECH_UNITS * su_mean
+                  + EC.LOSS_WEIGHT_PHONEMES * ce_mean)
+    loss = jnp.sum(jnp.where(is_voiced, per_sample, 0.0)) / jnp.maximum(num_samples, 1)
+
+    # Phoneme accuracy counters over voiced frames.
+    frame_voiced = valid & ~batch["silent"][seg]
+    pred = jnp.argmax(ph_pred_flat, axis=-1)
+    correct = (pred == batch["ph_targets"]) & frame_voiced
+    counters = {
+        "num_correct": jnp.sum(correct).astype(jnp.int32),
+        "num_frames": jnp.sum(frame_voiced).astype(jnp.int32),
+    }
+    # Phoneme confusion counts [pred, target] (reference test();
+    # ste_gan/emg_encoder/train.py:48,117-118).
+    confusion = jnp.zeros((C.NUM_PHONEMES, C.NUM_PHONEMES), jnp.int32)
+    confusion = confusion.at[pred, batch["ph_targets"]].add(
+        frame_voiced.astype(jnp.int32))
+    return loss, counters, confusion
+
+
+def silent_sample_loss(su_pred, ph_pred, su_target, ph_target,
+                       w_su: float = EC.LOSS_WEIGHT_SPEECH_UNITS,
+                       w_ph: float = EC.LOSS_WEIGHT_PHONEMES):
+    """DTW-aligned loss for one silent utterance
+    (reference: ste_gan/emg_encoder/train.py:120-134). Differentiable in the
+    costs; the alignment indices are gradient-stopped (the reference computes
+    them on detached numpy)."""
+    su_pred = su_pred.astype(jnp.float32)
+    su_target = su_target.astype(jnp.float32)
+    dists = jnp.sqrt(jnp.sum(jnp.square(
+        su_pred[:, None, :] - su_target[None, :, :]), axis=-1) + 1e-12)
+    logp = jax.nn.log_softmax(ph_pred.astype(jnp.float32), axis=-1)
+    phone_lp = logp[:, ph_target]  # [T_pred, T_target]
+    costs = w_su * dists + w_ph * (-phone_lp)
+    alignment = jax.lax.stop_gradient(dtw_alignment(costs.T))
+    t_target = su_target.shape[0]
+    picked = costs[alignment, jnp.arange(t_target)]
+    return jnp.sum(picked) / t_target, alignment
+
+
+# ---------------------------------------------------------------------------
+# Train/eval steps
+# ---------------------------------------------------------------------------
+
+
+def make_optimizer() -> optax.GradientTransformation:
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=EC.LEARNING_RATE, weight_decay=EC.WEIGHT_DECAY)
+
+
+def make_encoder_train_step(model, max_samples: int) -> Callable:
+    optimizer = make_optimizer()
+
+    def train_step(state: EncoderTrainState, batch, rng):
+        rng_shift, rng_drop = jax.random.split(rng)
+
+        def loss_fn(params):
+            (su_pred, ph_pred), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["emg_windows"], train=True,
+                rngs={"shift": rng_shift, "dropout": rng_drop},
+                mutable=["batch_stats"])
+            n, f, d = su_pred.shape
+            loss, counters, _ = voiced_batch_loss(
+                su_pred.reshape(n * f, d), ph_pred.reshape(n * f, -1),
+                batch, max_samples)
+            return loss, (counters, mutated["batch_stats"])
+
+        (loss, (counters, batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = EncoderTrainState(
+            step=state.step + 1, params=params, batch_stats=batch_stats,
+            opt_state=opt_state)
+        metrics = {"loss": loss, **counters}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_encoder_eval_step(model, max_samples: int) -> Callable:
+    def eval_step(params, batch_stats, batch):
+        su_pred, ph_pred = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["emg_windows"], train=False)
+        n, f, d = su_pred.shape
+        loss, counters, confusion = voiced_batch_loss(
+            su_pred.reshape(n * f, d), ph_pred.reshape(n * f, -1),
+            batch, max_samples)
+        return {"loss": loss, **counters, "confusion": confusion}
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# LR schedule (warmup + plateau)
+# ---------------------------------------------------------------------------
+
+
+class ReduceLROnPlateau:
+    """torch-semantics plateau scheduler (mode=min, rel threshold 1e-4)."""
+
+    def __init__(self, factor: float = 0.5, patience: int = EC.LEARNING_RATE_PATIENCE,
+                 threshold: float = 1e-4):
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.multiplier = 1.0
+        self.best = float("inf")
+        self.num_bad = 0
+
+    def step(self, value: float) -> None:
+        if value < self.best * (1.0 - self.threshold):
+            self.best = value
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.multiplier *= self.factor
+                self.num_bad = 0
+
+
+def warmup_lr(batch_idx: int, target: float = EC.LEARNING_RATE,
+              warmup: int = EC.LEARNING_RATE_WARMUP) -> float:
+    """Linear warmup over the first ``warmup`` batches
+    (reference schedule_lr; ste_gan/emg_encoder/train.py:177-180)."""
+    iteration = batch_idx + 1
+    if iteration <= warmup:
+        return iteration * target / warmup
+    return target
+
+
+# ---------------------------------------------------------------------------
+# Training loop
+# ---------------------------------------------------------------------------
+
+
+def evaluate(model, eval_step, state: EncoderTrainState, dataset: EMGDataset,
+             n_win: int, max_samples: int,
+             batch_size: int = EC.BATCH_SIZE) -> Tuple[float, float, np.ndarray]:
+    """Mean loss + phoneme accuracy + confusion over the (voiced) dev set
+    (reference test(); ste_gan/emg_encoder/train.py:37-63)."""
+    losses, correct, total = [], 0, 0
+    confusion = np.zeros((C.NUM_PHONEMES, C.NUM_PHONEMES), np.int64)
+    for start in range(0, len(dataset), batch_size):
+        items = [dataset[i] for i in range(start, min(start + batch_size,
+                                                      len(dataset)))]
+        batch = fold_encoder_batch(items, n_win=n_win,
+                                   max_samples=max_samples).as_dict()
+        out = eval_step(state.params, state.batch_stats, batch)
+        losses.append(float(out["loss"]))
+        correct += int(out["num_correct"])
+        total += int(out["num_frames"])
+        confusion += np.asarray(out["confusion"], np.int64)
+    acc = correct / max(total, 1)
+    return float(np.mean(losses)), acc, confusion
+
+
+def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
+                        output_directory: Path, debug: bool = False,
+                        max_len: int = EC.TRAIN_BATCH_MAX_LEN,
+                        num_epochs: int = EC.NUM_EPOCHS) -> EncoderTrainState:
+    output_directory = Path(output_directory)
+    writer = MetricLogger(output_directory)
+    model = init_emg_encoder(cfg)
+
+    seq_len = EC.SEQ_LEN
+    window = seq_len * 8
+    n_win = max(1, -(-max_len // window))
+    # Eval batches can need more windows than the training budget.
+    eval_lengths = sorted(devset.emg_lengths, reverse=True)[:EC.BATCH_SIZE]
+    n_win_eval = max(n_win, windows_needed(eval_lengths, seq_len))
+    max_samples = max(64, 2 * n_win, EC.BATCH_SIZE)
+
+    rng = jax.random.PRNGKey(C.RANDOM_SEED)
+    rng, init_rng = jax.random.split(rng)
+    variables = model.init(init_rng, jnp.zeros((1, window, trainset.num_emg_channels)),
+                           train=False)
+    optimizer = make_optimizer()
+    state = EncoderTrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(variables["params"]))
+
+    train_step = jax.jit(make_encoder_train_step(model, max_samples),
+                         donate_argnums=0)
+    eval_step = jax.jit(make_encoder_eval_step(model, max_samples))
+
+    sampler = SizeAwareSampler(trainset.emg_lengths, max_len,
+                               seed=C.RANDOM_SEED)
+    plateau = ReduceLROnPlateau()
+    best_val_loss = float("inf")
+    num_no_improvement = 0
+    batch_idx = 0
+    global_step = 0
+
+    for epoch_idx in range(num_epochs):
+        logging.info("Starting encoder epoch %d", epoch_idx + 1)
+        losses = []
+        epoch_start = time.time()
+        for index_batch in sampler:
+            items = [trainset[i] for i in index_batch]
+            batch = fold_encoder_batch(items, n_win=n_win,
+                                       max_samples=max_samples).as_dict()
+            lr = warmup_lr(batch_idx) * plateau.multiplier
+            state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = train_step(state, batch, step_rng)
+            batch_idx += 1
+            global_step += 1
+            loss_val = float(metrics["loss"])
+            losses.append(loss_val)
+            phon_acc = int(metrics["num_correct"]) / max(int(metrics["num_frames"]), 1)
+            writer.scalar("train/loss", loss_val, global_step)
+            writer.scalar("train_loss/phon_acc", phon_acc, global_step)
+            if debug:
+                logging.warning("debug: breaking train loop after one batch")
+                break
+
+        val, phoneme_acc, _ = evaluate(model, eval_step, state, devset,
+                                       n_win_eval, max_samples)
+        writer.scalar("val/loss", val, global_step)
+        writer.scalar("val/phon_acc", phoneme_acc, global_step)
+        plateau.step(val)
+        logging.info(
+            "epoch %d: train loss %.4f | val loss %.4f | val phon acc %.2f%% "
+            "(%.1fs)", epoch_idx + 1, float(np.mean(losses)), val,
+            phoneme_acc * 100, time.time() - epoch_start)
+
+        if val < best_val_loss:
+            logging.info("Saving best encoder (val loss improved)")
+            save_pytree(output_directory / "best_val_loss_model",
+                        {"params": state.params, "batch_stats": state.batch_stats})
+            best_val_loss = float(val)
+            num_no_improvement = 0
+        else:
+            num_no_improvement += 1
+
+        save_pytree(output_directory / "last_model",
+                    {"params": state.params, "batch_stats": state.batch_stats})
+
+        if debug:
+            logging.warning("debug: breaking epoch loop")
+            break
+        if num_no_improvement > EC.EARLY_STOP_PATIENCE:
+            logging.warning("early stop: no improvement for %d epochs",
+                            num_no_improvement)
+            break
+
+    writer.close()
+    return state
+
+
+def init_voiced_datasets(emg_dataset_root: Path):
+    """Voiced-only train/dev/test datasets with train-derived vocabularies
+    (reference init_voiced_datasets_emg_encoder_training;
+    ste_gan/emg_encoder/utils.py:118-146)."""
+    trainset = EMGDataset(emg_dataset_root, partition="train",
+                          only_include_voiced=True, return_mfccs=False,
+                          return_emg_feats=False, filter_by_length=False)
+
+    def eval_set(partition):
+        return EMGDataset(emg_dataset_root, partition, filter_by_length=False,
+                          return_mfccs=False, return_emg_feats=False,
+                          only_include_voiced=True,
+                          session_id_to_idx=trainset.session_id_to_idx,
+                          speaking_mode_id_to_idx=trainset.speaking_mode_id_to_idx)
+
+    devset, testset = eval_set("valid"), eval_set("test")
+    EMGDataset.check_no_data_overlap([trainset, devset, testset])
+    return trainset, devset, testset
+
+
+def create_output_dir_name(data_root: Path, emg_enc_name: str,
+                           seq_len: int = EC.SEQ_LEN, debug: bool = False) -> str:
+    debug_str = "DEBUG_" if debug else ""
+    return f"{debug_str}{emg_enc_name}__seq_len__{seq_len}__data_{Path(data_root).name}"
+
+
+def main(args: argparse.Namespace) -> None:
+    cfg = load_config(args=args, override_with_eval_args=False)
+    emg_dataset_root = Path(cfg.data.dataset_root)
+    output_directory = Path(args.exp_dir) / create_output_dir_name(
+        emg_dataset_root, cfg.emg_encoder.type + "_voiced_only",
+        debug=args.debug)
+    output_directory.mkdir(exist_ok=True, parents=True)
+    print(f"Output directory: {output_directory}")
+
+    done_file = output_directory / ".done"
+    if done_file.exists():
+        logging.warning("Exiting: '.done' exists: %s", done_file.resolve())
+        sys.exit()
+
+    setup_run_logging(output_directory)
+    config_file = output_directory / "config.yaml"
+    if not config_file.exists():
+        cfg.save(config_file)
+
+    trainset, devset, _ = init_voiced_datasets(emg_dataset_root)
+    logging.info("train/dev: %d / %d utterances", len(trainset), len(devset))
+
+    train_encoder_model(cfg, trainset, devset, output_directory,
+                        debug=args.debug)
+    done_file.write_text("Done training.\n")
+
+
+def parse_args() -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", type=str, default="configs/ste_gan_base_gantts.yaml")
+    parser.add_argument("--exp_dir", type=Path, default=Path("exp/emg_encoder"))
+    parser.add_argument("--data", type=str, default="configs/data/gaddy_and_klein_corpus.yaml")
+    parser.add_argument("--emg_enc_cfg", type=str,
+                        default="configs/emg_encoder/conv_transformer.yaml")
+    parser.add_argument("--debug", action="store_true", default=False)
+    return parser.parse_args()
+
+
+if __name__ == "__main__":
+    main(parse_args())

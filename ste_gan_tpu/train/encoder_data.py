@@ -1,0 +1,134 @@
+"""Batching for EMG-encoder pre-training: size-aware packing and fixed-shape
+window folding.
+
+The reference packs utterances into batches bounded by total EMG samples
+(SizeAwareSampler, ste_gan/emg_encoder/utils.py:182-200), concatenates each
+batch and folds it into fixed windows of ``SEQ_LEN*8 = 1600`` EMG samples
+(combine_fixed_length, :93-104), then de-collates predictions back to
+per-utterance slices for a per-sample Python loss loop
+(ste_gan/emg_encoder/train.py:91-146).
+
+TPU-native redesign: the fold output is padded to a *fixed* window count so
+every train step compiles once, and the per-sample loop becomes masked
+segment reductions — each 50 Hz frame carries the index of the utterance it
+belongs to (-1 for padding), so per-sample means are ``segment_sum``s. The
+packing itself stays on the host.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Iterator, List, Sequence
+
+import numpy as np
+
+from ste_gan_tpu import constants as C
+from ste_gan_tpu import emg_encoder_constants as EC
+
+
+class SizeAwareSampler:
+    """Shuffled greedy packing of utterance indices with a total-EMG-sample
+    budget per batch; the last incomplete batch is dropped (reference
+    semantics)."""
+
+    def __init__(self, lengths: Sequence[int], max_len: int = EC.TRAIN_BATCH_MAX_LEN,
+                 seed: int = 0):
+        self.lengths = list(lengths)
+        self.max_len = max_len
+        self._rng = np.random.default_rng(seed)
+
+    def __iter__(self) -> Iterator[List[int]]:
+        indices = np.arange(len(self.lengths))
+        self._rng.shuffle(indices)
+        batch: List[int] = []
+        batch_length = 0
+        for idx in indices:
+            length = self.lengths[idx]
+            if length + batch_length > self.max_len:
+                yield batch
+                batch = []
+                batch_length = 0
+            batch.append(int(idx))
+            batch_length += length
+        # last incomplete batch dropped
+
+
+@dataclasses.dataclass
+class EncoderBatch:
+    """Fixed-shape folded batch. All arrays are static-shaped for XLA."""
+
+    emg_windows: np.ndarray      # [n_win, window, C]
+    su_targets: np.ndarray       # [n_win * frames_per_win, 256]
+    ph_targets: np.ndarray       # [n_win * frames_per_win]
+    frame_sample_id: np.ndarray  # [n_win * frames_per_win] int32, -1 = pad
+    silent: np.ndarray           # [max_samples] bool
+    num_samples: np.ndarray      # [] int32
+
+    def as_dict(self) -> Dict[str, np.ndarray]:
+        return dataclasses.asdict(self)
+
+
+def fold_encoder_batch(
+    items: Sequence[Dict],
+    seq_len: int = EC.SEQ_LEN,
+    n_win: int = None,
+    max_samples: int = None,
+    emg_ratio: int = EC.EMG_SIGNAL_TO_SPEECH_UNITS,
+) -> EncoderBatch:
+    """Concatenate utterances, fold into fixed windows, build frame->sample
+    segment ids. ``n_win`` defaults to the packing budget's worst case."""
+    window = seq_len * 8
+    frames_per_win = window // emg_ratio
+    if n_win is None:
+        n_win = math.ceil(EC.TRAIN_BATCH_MAX_LEN / window) + 1
+    if max_samples is None:
+        max_samples = max(len(items), 2 * n_win)
+
+    emg_list = [np.asarray(it[C.DataType.REAL_EMG], np.float32) for it in items]
+    su_list = [np.asarray(it[C.DataType.SPEECH_UNITS], np.float32) for it in items]
+    ph_list = [np.asarray(it[C.DataType.PHONEMES], np.int32) for it in items]
+    silent_flags = [it[C.DataType.SPEAKING_MODE_ID] != C.SpeakingMode.NORMAL
+                    for it in items]
+
+    total = sum(len(e) for e in emg_list)
+    num_channels = emg_list[0].shape[-1]
+    capacity = n_win * window
+    if total > capacity:
+        raise ValueError(f"batch of {total} EMG samples exceeds capacity "
+                         f"{capacity} ({n_win} windows)")
+    if len(items) > max_samples:
+        raise ValueError(f"{len(items)} utterances > max_samples {max_samples}")
+
+    emg = np.zeros((capacity, num_channels), np.float32)
+    emg[:total] = np.concatenate(emg_list, axis=0)
+    emg_windows = emg.reshape(n_win, window, num_channels)
+
+    total_frames = total // emg_ratio
+    frame_capacity = n_win * frames_per_win
+    su = np.zeros((frame_capacity, su_list[0].shape[-1]), np.float32)
+    su[:total_frames] = np.concatenate(su_list, axis=0)
+    ph = np.zeros((frame_capacity,), np.int32)
+    ph[:total_frames] = np.concatenate(ph_list, axis=0)
+
+    sample_id = np.full((frame_capacity,), -1, np.int32)
+    offset = 0
+    for k, su_utt in enumerate(su_list):
+        sample_id[offset:offset + len(su_utt)] = k
+        offset += len(su_utt)
+
+    silent = np.zeros((max_samples,), bool)
+    silent[: len(items)] = silent_flags
+
+    return EncoderBatch(
+        emg_windows=emg_windows,
+        su_targets=su,
+        ph_targets=ph,
+        frame_sample_id=sample_id,
+        silent=silent,
+        num_samples=np.int32(len(items)),
+    )
+
+
+def windows_needed(lengths: Sequence[int], seq_len: int = EC.SEQ_LEN) -> int:
+    window = seq_len * 8
+    return math.ceil(sum(lengths) / window)
