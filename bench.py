@@ -1,0 +1,105 @@
+"""Benchmark: fused GAN train-step throughput on the local accelerator.
+
+Runs the full-size training configuration (batch 32 x 2048-sample chunks,
+full generator + small discriminator ensemble + frozen full encoder, every
+loss term, bf16 compute) through the single fused jit step and reports EMG
+channel-samples/sec — the BASELINE.md headline metric. ``vs_baseline`` is
+the ratio against the PyTorch reference measured on this machine's CPU
+(benchmarks/torch_cpu_baseline.json; target >= 10x).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ste_gan_tpu import constants as C
+    from ste_gan_tpu.config import Config
+    from ste_gan_tpu.parallel.mesh import (
+        create_mesh, largest_divisor_mesh_size, replicate, shard_batch)
+    from ste_gan_tpu.train.gan import (
+        build_models, init_state, make_train_step)
+    from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = Config()  # full-size defaults: batch 32, chunk 2048, bf16
+    models = build_models(cfg)
+    rng = jax.random.PRNGKey(0)
+    encoder_variables = jax.jit(lambda r: models.encoder.init(
+        r, jnp.zeros((1, cfg.train.chunk_size, cfg.data.num_emg_channels)),
+        train=False))(rng)
+    state = init_state(cfg, models, rng)
+
+    n_dev = largest_divisor_mesh_size(cfg.train.batch_size, len(jax.devices()))
+    mesh = create_mesh(n_dev)
+    state = replicate(mesh, state)
+    encoder_variables = replicate(mesh, encoder_variables)
+
+    b, chunk = cfg.train.batch_size, cfg.train.chunk_size
+    frames = chunk // C.HOPSIZE
+    rng_np = np.random.default_rng(0)
+    batch = shard_batch(mesh, {
+        C.DataType.REAL_EMG: jnp.asarray(
+            np.tanh(rng_np.normal(0, 0.4, (b, chunk, 8))), jnp.float32),
+        C.DataType.SPEECH_UNITS: jnp.asarray(
+            rng_np.normal(size=(b, frames, 256)), jnp.float32),
+        C.DataType.PHONEMES: jnp.asarray(
+            rng_np.integers(0, C.NUM_PHONEMES, (b, frames)), jnp.int32),
+        C.DataType.SESSION_INDEX: jnp.asarray(
+            rng_np.integers(0, C.NUM_EMG_SESSIONS, (b,)), jnp.int32),
+        C.DataType.SPEAKING_MODE_INDEX: jnp.zeros((b,), jnp.int32),
+    })
+
+    step = jax.jit(make_train_step(cfg, models), donate_argnums=0)
+
+    # Warmup / compile.
+    compile_start = time.perf_counter()
+    state, metrics = step(state, batch, encoder_variables)
+    float(np.asarray(metrics["loss/generator"]))  # forced host sync
+    compile_secs = time.perf_counter() - compile_start
+    for _ in range(5):  # settle steady state
+        state, metrics = step(state, batch, encoder_variables)
+    float(np.asarray(metrics["loss/generator"]))
+
+    # Timed steps (chained via state donation; the trailing device->host
+    # transfer guarantees every step actually executed).
+    num_steps = 30
+    start = time.perf_counter()
+    for _ in range(num_steps):
+        state, metrics = step(state, batch, encoder_variables)
+    float(np.asarray(metrics["loss/generator"]))
+    elapsed = (time.perf_counter() - start) / num_steps
+
+    ch_samples = b * chunk * cfg.data.num_emg_channels
+    value = ch_samples / elapsed / n_dev  # per-chip
+
+    baseline_path = Path(__file__).parent / "benchmarks/torch_cpu_baseline.json"
+    vs_baseline = None
+    if baseline_path.exists():
+        baseline = json.loads(baseline_path.read_text())
+        vs_baseline = value * n_dev / baseline["emg_channel_samples_per_sec"]
+
+    print(json.dumps({
+        "metric": "GAN train-step throughput",
+        "value": round(value, 1),
+        "unit": "EMG channel-samples/sec/chip",
+        "vs_baseline": None if vs_baseline is None else round(vs_baseline, 2),
+        "sec_per_step": round(elapsed, 4),
+        "compile_secs": round(compile_secs, 1),
+        "devices": n_dev,
+        "platform": jax.devices()[0].platform,
+        "loss_G": round(float(metrics["loss/generator"]), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,8 +46,7 @@ class Dense(nn.Module):
         kernel = self.param("kernel", torch_linear_init(fan_in),
                             (fan_in, self.features))
         y = jnp.einsum("...d,df->...f", x.astype(self.dtype),
-                       kernel.astype(self.dtype),
-                       preferred_element_type=jnp.float32).astype(self.dtype)
+                       kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", torch_linear_init(fan_in), (self.features,))
             y = y + bias.astype(self.dtype)
@@ -95,8 +94,7 @@ class RelativePositionalLogits(nn.Module):
         # [B, H, L, M] logits against every offset bucket, then one gather to
         # [B, H, L, L] (replaces the reference's pad/reshape skew trick).
         logits = jnp.einsum("bhld,hmd->bhlm", q.astype(self.dtype),
-                            table.astype(self.dtype),
-                            preferred_element_type=jnp.float32)
+                            table.astype(self.dtype))
         idx = relative_position_index(length)
         out = jnp.take_along_axis(
             logits, jnp.broadcast_to(idx, (1, 1, length, length)), axis=-1)
@@ -135,15 +133,11 @@ class MultiHeadAttention(nn.Module):
                          (self.num_heads, d_qkv, self.d_model))
 
         xc = x.astype(self.dtype)
-        q = jnp.einsum("btf,hfa->bhta", xc, w_q.astype(self.dtype),
-                       preferred_element_type=jnp.float32)
-        k = jnp.einsum("btf,hfa->bhta", xc, w_k.astype(self.dtype),
-                       preferred_element_type=jnp.float32)
-        v = jnp.einsum("btf,hfa->bhta", xc, w_v.astype(self.dtype),
-                       preferred_element_type=jnp.float32)
+        q = jnp.einsum("btf,hfa->bhta", xc, w_q.astype(self.dtype))
+        k = jnp.einsum("btf,hfa->bhta", xc, w_k.astype(self.dtype))
+        v = jnp.einsum("btf,hfa->bhta", xc, w_v.astype(self.dtype))
 
-        logits = jnp.einsum("bhqa,bhka->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
+        logits = jnp.einsum("bhqa,bhka->bhqk", q, k)
         logits = logits.astype(jnp.float32) / math.sqrt(d_qkv)
         if self.relative_positional:
             logits = logits + RelativePositionalLogits(
@@ -153,11 +147,9 @@ class MultiHeadAttention(nn.Module):
 
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
-        o = jnp.einsum("bhqk,bhka->bhqa", probs, v.astype(self.dtype),
-                       preferred_element_type=jnp.float32)
+        o = jnp.einsum("bhqk,bhka->bhqa", probs, v.astype(self.dtype))
         out = jnp.einsum("bhta,haf->btf", o.astype(self.dtype),
-                         w_o.astype(self.dtype),
-                         preferred_element_type=jnp.float32)
+                         w_o.astype(self.dtype))
         return out.astype(self.dtype)
 
 

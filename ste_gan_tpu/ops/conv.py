@@ -65,6 +65,9 @@ def _torch_conv_init(fan_in: float):
 def _conv(x, kernel, strides, padding, dilation, groups, dtype):
     rank = kernel.ndim - 2
     dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, _DIM_NUMBERS[rank])
+    # Compute in the module dtype (bf16 under mixed precision): the TPU MXU
+    # accumulates bf16 contractions in f32 internally, and keeping operand /
+    # output dtypes uniform keeps the conv transpose (backward) well-typed.
     return jax.lax.conv_general_dilated(
         x.astype(dtype),
         kernel.astype(dtype),
@@ -73,8 +76,7 @@ def _conv(x, kernel, strides, padding, dilation, groups, dtype):
         rhs_dilation=dilation,
         dimension_numbers=dn,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    ).astype(dtype)
+    )
 
 
 class _ConvBase(nn.Module):
@@ -243,5 +245,4 @@ def moving_average(x: jnp.ndarray, window: int, pad_signal: bool = True) -> jnp.
     return jax.lax.conv_general_dilated(
         x, kernel, window_strides=(1,), padding=((0, 0),),
         dimension_numbers=dn, feature_group_count=c,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )

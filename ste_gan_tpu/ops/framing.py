@@ -41,6 +41,5 @@ def frame_reduce(x: jnp.ndarray, window: int, stride: int, mode: str = "mean") -
     out = jax.lax.conv_general_dilated(
         x, kernel, window_strides=(stride,), padding=((0, 0),),
         dimension_numbers=dn, feature_group_count=c,
-        preferred_element_type=jnp.float32,
     )
     return out.astype(x.dtype)

@@ -262,8 +262,9 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
 
     rng = jax.random.PRNGKey(C.RANDOM_SEED)
     rng, init_rng = jax.random.split(rng)
-    variables = model.init(init_rng, jnp.zeros((1, window, trainset.num_emg_channels)),
-                           train=False)
+    variables = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, window, trainset.num_emg_channels)),
+        train=False))(init_rng)
     optimizer = make_optimizer()
     state = EncoderTrainState(
         step=jnp.zeros((), jnp.int32), params=variables["params"],
@@ -380,6 +381,8 @@ def main(args: argparse.Namespace) -> None:
         sys.exit()
 
     setup_run_logging(output_directory)
+    from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
     config_file = output_directory / "config.yaml"
     if not config_file.exists():
         cfg.save(config_file)

@@ -114,9 +114,11 @@ def init_state(cfg: Config, models: GANModels, rng: jax.Array) -> GANTrainState:
     rng_g, rng_d = jax.random.split(rng)
     feats = jnp.zeros((1, frames, feat_dim))
     ids = jnp.zeros((1,), jnp.int32)
-    gen_vars = models.generator.init(rng_g, feats, ids, ids)
+    # jit the inits: eager op-by-op initialisation is pathologically slow
+    # through a remote-TPU tunnel (thousands of tiny dispatches).
+    gen_vars = jax.jit(models.generator.init)(rng_g, feats, ids, ids)
     emg = jnp.zeros((1, cfg.train.chunk_size, cfg.data.num_emg_channels))
-    disc_vars = models.discriminator.init(rng_d, emg, train=False)
+    disc_vars = jax.jit(partial(models.discriminator.init, train=False))(rng_d, emg)
 
     opt = make_optimizer(cfg)
     return GANTrainState(

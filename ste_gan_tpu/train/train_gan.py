@@ -56,9 +56,9 @@ def load_frozen_encoder(cfg: Config, models: GANModels,
     """Initialise the frozen perceptual encoder; restore from an Orbax
     checkpoint when given (reference load_emg_encoder;
     ste_gan/models/emg_encoder.py:117-127)."""
-    template = models.encoder.init(
-        rng, jnp.zeros((1, cfg.train.chunk_size, cfg.data.num_emg_channels)),
-        train=False)
+    template = jax.jit(lambda r: models.encoder.init(
+        r, jnp.zeros((1, cfg.train.chunk_size, cfg.data.num_emg_channels)),
+        train=False))(rng)
     if emg_enc_ckpt:
         logging.info("Loading EMG encoder checkpoint: %s", emg_enc_ckpt)
         return load_pytree(Path(emg_enc_ckpt), template)
@@ -249,6 +249,9 @@ def main(args: argparse.Namespace) -> None:
 
     setup_run_logging(output_directory)
     logging.info("Config:\n%s", cfg.to_yaml())
+
+    from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
 
     if args.checkpoint:
         resume = True  # explicit checkpoint dir implies resume semantics

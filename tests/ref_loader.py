@@ -44,9 +44,11 @@ def _install_stubs() -> None:
 
         _stub("numba", jit=jit)
 
-    for missing in ("librosa", "soundfile", "textgrids", "noisereduce"):
+    for missing in ("librosa", "soundfile", "noisereduce"):
         if missing not in sys.modules:
             _stub(missing)
+    if "textgrids" not in sys.modules:
+        _stub("textgrids", TextGrid=object)
     if "librosa" in sys.modules and not hasattr(sys.modules["librosa"], "util"):
         sys.modules["librosa"].util = types.SimpleNamespace()
         sys.modules["librosa"].feature = types.SimpleNamespace()

@@ -38,7 +38,8 @@ def tiny_cfg() -> Config:
     return cfg
 
 
-def tiny_models(cfg, rng) -> GANModels:
+def tiny_models(cfg, rng):
+    """Returns (GANModels, frozen encoder variables)."""
     generator = EMGGeneratorGanTTS(num_sessions=4, channels=32)
     discriminator = DiscriminatorEnsemble(
         num_multi_pool=2, num_multi_scale=2,
@@ -49,7 +50,7 @@ def tiny_models(cfg, rng) -> GANModels:
         num_heads=4, dim_feedforward=64, dropout=0.0)
     enc_vars = encoder.init(rng, jnp.zeros((1, cfg.train.chunk_size, 8)),
                             train=False)
-    return GANModels(generator, discriminator, encoder, enc_vars)
+    return GANModels(generator, discriminator, encoder), enc_vars
 
 
 def synthetic_batch(cfg, batch_size=None, seed=0):
@@ -71,14 +72,14 @@ def synthetic_batch(cfg, batch_size=None, seed=0):
 class TestTrainStep:
     def test_losses_decrease(self):
         cfg = tiny_cfg()
-        models = tiny_models(cfg, jax.random.PRNGKey(1))
+        models, enc_vars = tiny_models(cfg, jax.random.PRNGKey(1))
         state = init_state(cfg, models, jax.random.PRNGKey(0))
         step = jax.jit(make_train_step(cfg, models), donate_argnums=0)
 
         batch = synthetic_batch(cfg)
         history = []
         for _ in range(30):
-            state, metrics = step(state, batch)
+            state, metrics = step(state, batch, enc_vars)
             history.append(float(metrics["loss/generator"]))
         # The generator loss on a fixed batch must drop substantially.
         assert history[-1] < history[0] * 0.8, history[::6]
@@ -86,10 +87,10 @@ class TestTrainStep:
 
     def test_metrics_complete_and_finite(self):
         cfg = tiny_cfg()
-        models = tiny_models(cfg, jax.random.PRNGKey(1))
+        models, enc_vars = tiny_models(cfg, jax.random.PRNGKey(1))
         state = init_state(cfg, models, jax.random.PRNGKey(0))
         step = jax.jit(make_train_step(cfg, models))
-        _, metrics = step(state, synthetic_batch(cfg))
+        _, metrics = step(state, synthetic_batch(cfg), enc_vars)
         for key in ("loss/generator", "loss/discriminator", "loss/multi_td",
                     "loss/speech_unit", "loss/phoneme", "loss/feature_matching",
                     "loss/adversarial", "count/num_phones", "count/num_correct"):
@@ -100,17 +101,17 @@ class TestTrainStep:
 
     def test_spectral_state_updates(self):
         cfg = tiny_cfg()
-        models = tiny_models(cfg, jax.random.PRNGKey(1))
+        models, enc_vars = tiny_models(cfg, jax.random.PRNGKey(1))
         state = init_state(cfg, models, jax.random.PRNGKey(0))
         step = jax.jit(make_train_step(cfg, models))
-        new_state, _ = step(state, synthetic_batch(cfg))
+        new_state, _ = step(state, synthetic_batch(cfg), enc_vars)
         before = jax.tree.leaves(state.disc_spectral)[0]
         after = jax.tree.leaves(new_state.disc_spectral)[0]
         assert not np.allclose(before, after)
 
     def test_lr_schedule_injection(self):
         cfg = tiny_cfg()
-        models = tiny_models(cfg, jax.random.PRNGKey(1))
+        models, enc_vars = tiny_models(cfg, jax.random.PRNGKey(1))
         state = init_state(cfg, models, jax.random.PRNGKey(0))
         assert np.isclose(epoch_lr(cfg, 0), cfg.train.learning_rate)
         assert np.isclose(epoch_lr(cfg, 10),
@@ -123,19 +124,20 @@ class TestTrainStep:
 class TestDataParallel:
     def test_sharded_step_matches_single_device(self):
         cfg = tiny_cfg()
-        models = tiny_models(cfg, jax.random.PRNGKey(1))
+        models, enc_vars = tiny_models(cfg, jax.random.PRNGKey(1))
         state = init_state(cfg, models, jax.random.PRNGKey(0))
         batch = synthetic_batch(cfg)
         step = make_train_step(cfg, models)
 
         # Single device.
-        s1, m1 = jax.jit(step)(state, batch)
+        s1, m1 = jax.jit(step)(state, batch, enc_vars)
 
         # 8-device mesh: params replicated, batch sharded.
         mesh = create_mesh(8)
         state_r = replicate(mesh, state)
         batch_s = shard_batch(mesh, batch)
-        s8, m8 = jax.jit(step)(state_r, batch_s)
+        enc_r = replicate(mesh, enc_vars)
+        s8, m8 = jax.jit(step)(state_r, batch_s, enc_r)
 
         np.testing.assert_allclose(float(m1["loss/generator"]),
                                    float(m8["loss/generator"]), rtol=2e-4)
@@ -149,10 +151,10 @@ class TestDataParallel:
 
     def test_eval_step(self):
         cfg = tiny_cfg()
-        models = tiny_models(cfg, jax.random.PRNGKey(1))
+        models, enc_vars = tiny_models(cfg, jax.random.PRNGKey(1))
         state = init_state(cfg, models, jax.random.PRNGKey(0))
         eval_step = jax.jit(make_eval_step(cfg, models))
-        metrics = eval_step(state.gen_params, synthetic_batch(cfg))
+        metrics = eval_step(state.gen_params, synthetic_batch(cfg), enc_vars)
         for key in ("val/waveform", "val/multi_td", "val/speech_unit",
                     "val/phoneme", "count/num_phones"):
             assert np.isfinite(float(metrics[key])), key
