@@ -54,9 +54,10 @@ class EMGSynthesizer:
         self.bucket = max(1, int(bucket))
         self.upsample = generator.upsample_factor
 
-        @partial(jax.jit, static_argnums=())
-        def _forward(params, feats, sess_idx, mode_idx):
-            return self.generator.apply({"params": params}, feats, sess_idx, mode_idx)
+        @jax.jit
+        def _forward(params, feats, sess_idx, mode_idx, num_valid):
+            return self.generator.apply({"params": params}, feats, sess_idx,
+                                        mode_idx, num_valid_frames=num_valid)
 
         self._forward = _forward
 
@@ -76,7 +77,8 @@ class EMGSynthesizer:
         padded_t = _round_up(t, self.bucket)
         if padded_t != t:
             feats = jnp.pad(feats, ((0, 0), (0, padded_t - t), (0, 0)))
-        emg = self._forward(self.params, feats, session_idx, mode_idx)
+        emg = self._forward(self.params, feats, session_idx, mode_idx,
+                            jnp.asarray(t, jnp.int32))
         return emg[:, : self.upsample * t]
 
     def synthesize(self, feats: np.ndarray, session_idx: int,
@@ -105,15 +107,18 @@ class EMGSynthesizer:
             lo = max(0, start - context_frames)
             hi = min(t, stop + context_frames)
             window = feats[lo:hi]
-            # Keep the compile cache small: pad the window to a fixed size.
+            valid = len(window)
+            # Keep the compile cache small: pad the window to a fixed size
+            # (exact — padded frames are masked inside the generator).
             target = chunk_frames + 2 * context_frames
-            pad = target - len(window)
+            pad = target - valid
             if pad > 0:
                 window = np.pad(window, ((0, pad), (0, 0)))
-            emg = self.synthesize_batch(
-                jnp.asarray(window)[None],
+            emg = self._forward(
+                self.params, jnp.asarray(window)[None],
                 jnp.asarray([session_idx], jnp.int32),
-                jnp.asarray([mode_idx], jnp.int32))[0]
+                jnp.asarray([mode_idx], jnp.int32),
+                jnp.asarray(valid, jnp.int32))[0]
             yield np.asarray(emg[(start - lo) * up:(stop - lo) * up])
 
     # ------------------------------------------------------------------

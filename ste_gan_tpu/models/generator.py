@@ -46,8 +46,19 @@ class GBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, num_valid=None):
+        """``num_valid`` (scalar, at the *input* frame rate) zeroes every
+        activation beyond the valid region after each conv, making explicit
+        right-padding bit-equivalent to the conv stack's boundary
+        zero-padding — see EMGGeneratorGanTTS.__call__(num_valid_frames)."""
         k = self.kernel_size
+        n_out = None if num_valid is None else num_valid * self.upsample
+
+        def mask(h):
+            if n_out is None:
+                return h
+            keep = jnp.arange(h.shape[1])[None, :, None] < n_out
+            return jnp.where(keep, h, 0).astype(h.dtype)
 
         def wn(name, dilation=1, kernel=k):
             return WNConv(self.output_dim, (kernel,), dilation=dilation,
@@ -56,19 +67,19 @@ class GBlock(nn.Module):
 
         h = nn.relu(x)
         h = upsample_nearest(h, self.upsample)
-        h = wn("conv1_a")(h)
+        h = mask(wn("conv1_a")(h))
         h = nn.relu(h)
-        h = wn("conv1_b", dilation=3)(h)
+        h = mask(wn("conv1_b", dilation=3)(h))
 
         r = upsample_nearest(x, self.upsample)
-        r = WNConv(self.output_dim, (1,), dtype=self.dtype, name="res1")(r)
+        r = mask(WNConv(self.output_dim, (1,), dtype=self.dtype, name="res1")(r))
 
         y = h + r
 
         h2 = nn.relu(y)
-        h2 = wn("conv2_a", dilation=9)(h2)
+        h2 = mask(wn("conv2_a", dilation=9)(h2))
         h2 = nn.relu(h2)
-        h2 = wn("conv2_b", dilation=27)(h2)
+        h2 = mask(wn("conv2_b", dilation=27)(h2))
         return y + h2
 
 
@@ -93,11 +104,16 @@ class EMGGeneratorGanTTS(nn.Module):
         return 16 if self.speech_feature_type == C.DataType.SPEECH_UNITS else 8
 
     @nn.compact
-    def __call__(self, speech_features, session_ids, speaking_mode_ids=None):
+    def __call__(self, speech_features, session_ids, speaking_mode_ids=None,
+                 num_valid_frames=None):
         """Args:
             speech_features: [B, T, speech_input_dim] feature sequence.
             session_ids: [B] int session indices.
             speaking_mode_ids: [B] int speaking-mode indices (optional).
+            num_valid_frames: optional scalar; frames at index >= this are
+                zeroed *after* the embedding concat, making right-padding
+                exactly equivalent to the conv stack's boundary zero-padding
+                (used by length-bucketed inference).
 
         Returns:
             [B, upsample_factor * T, num_emg_channels] EMG in [-1, 1].
@@ -120,9 +136,19 @@ class EMGGeneratorGanTTS(nn.Module):
                                 name="speaking_mode_embeddings")(speaking_mode_ids)
             x = jnp.concatenate([x, _tile(mode_emb)], axis=-1)
 
+        def mask(h, valid):
+            if valid is None:
+                return h
+            keep = jnp.arange(h.shape[1])[None, :, None] < valid
+            return jnp.where(keep, h, 0).astype(h.dtype)
+
+        num_valid = num_valid_frames
+        x = mask(x, num_valid)
+
         ch = self.channels
         upsample_last = 2 if self.speech_feature_type == C.DataType.SPEECH_UNITS else 1
-        x = WNConv(ch, (1,), dtype=self.dtype, name="input_conv")(x)
+        x = mask(WNConv(ch, (1,), dtype=self.dtype, name="input_conv")(x),
+                 num_valid)
         # (output_dim, upsample): 2 processing blocks, 4 upsampling blocks
         # (50 -> 100 -> 200 -> 400 -> [800] Hz), 2 processing blocks.
         block_spec: Sequence = (
@@ -131,11 +157,14 @@ class EMGGeneratorGanTTS(nn.Module):
             (ch // 4, 1), (ch // 4, 1),
         )
         for i, (out_dim, up) in enumerate(block_spec):
-            x = GBlock(out_dim, upsample=up, dtype=self.dtype, name=f"gblock_{i}")(x)
+            x = GBlock(out_dim, upsample=up, dtype=self.dtype,
+                       name=f"gblock_{i}")(x, num_valid)
+            if num_valid is not None:
+                num_valid = num_valid * up
 
         x = nn.relu(x)
-        x = WNConv(self.num_emg_channels, (3,), padding=1, dtype=self.dtype,
-                   name="out_conv")(x)
+        x = mask(WNConv(self.num_emg_channels, (3,), padding=1, dtype=self.dtype,
+                        name="out_conv")(x), num_valid)
         return jnp.tanh(x.astype(jnp.float32))
 
     def generate(self, variables, speech_features, session_ids,

@@ -48,6 +48,7 @@ from ste_gan_tpu.train.gan import (
 from ste_gan_tpu.utils.logging_utils import MetricLogger, setup_run_logging
 from ste_gan_tpu.utils.metrics import (
     mean_error, phoneme_accuracy, phoneme_accuracy_no_silence)
+from ste_gan_tpu.utils.profiling import StepTimer
 from ste_gan_tpu.utils.plotting import plot_real_vs_fake_emg_signal_with_envelope
 
 
@@ -110,6 +111,10 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     t_cfg = cfg.train
     log_start = time.time()
     final_val: Dict[str, float] = {}
+    step_timer = StepTimer(
+        channel_samples_per_step=(t_cfg.batch_size * t_cfg.chunk_size
+                                  * cfg.data.num_emg_channels),
+        num_devices=mesh.size)
 
     def run_validation(gen_params) -> Dict[str, float]:
         errors: Dict[str, list] = {k: [] for k in (
@@ -177,6 +182,7 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
                     acc_host["num_silence"])
                 writer.scalar("train_loss/phoneme_accuracy_avg", ph_acc, steps)
                 writer.scalar("train_loss/phoneme_accuracy_avg_no_sil", ph_acc_ns, steps)
+                writer.scalars(step_timer.update(steps), steps)
                 ms_per_batch = 1e3 * (time.time() - log_start) / t_cfg.interval_log
                 logging.info(
                     "Epoch %d | Steps %d | ms/batch %5.2f | G %.4f | D %.4f | "
