@@ -17,6 +17,11 @@ import jax.numpy as jnp
 def frame_reduce(x: jnp.ndarray, window: int, stride: int, mode: str = "mean") -> jnp.ndarray:
     """Framed reduction over time.
 
+    Computed as strided differences of an exclusive cumulative sum —
+    O(T log T) work with full lane utilisation, instead of a depthwise
+    conv whose 8-channel feature dim would waste 120 of the 128 TPU lanes.
+    The VJP (reverse cumsum + gather-scatter) is equally cheap.
+
     Args:
         x: [B, T, C] signal.
         window: frame length in samples.
@@ -24,22 +29,18 @@ def frame_reduce(x: jnp.ndarray, window: int, stride: int, mode: str = "mean") -
         mode: "mean" or "sum".
 
     Returns:
-        [B, num_frames, C] with num_frames = (T - window) // stride + 1.
+        [B, num_frames, C] with num_frames = (T - window) // stride + 1
+        (trailing remainder dropped, exactly like torch unfold).
     """
     if mode not in ("mean", "sum"):
         raise ValueError(f"unsupported mode: {mode}")
     b, t, c = x.shape
     num_frames = (t - window) // stride + 1
-    # Drop the trailing remainder exactly like unfold does, so the conv's
-    # VALID geometry matches.
-    needed = (num_frames - 1) * stride + window
-    x = x[:, :needed]
-    fill = 1.0 / window if mode == "mean" else 1.0
-    kernel = jnp.broadcast_to(
-        jnp.full((window, 1, 1), fill, dtype=x.dtype), (window, 1, c))
-    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NWC", "WIO", "NWC"))
-    out = jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(stride,), padding=((0, 0),),
-        dimension_numbers=dn, feature_group_count=c,
-    )
-    return out.astype(x.dtype)
+    x = x.astype(jnp.float32)
+    csum = jnp.concatenate(
+        [jnp.zeros((b, 1, c), x.dtype), jnp.cumsum(x, axis=1)], axis=1)
+    starts = jnp.arange(num_frames) * stride
+    out = csum[:, starts + window, :] - csum[:, starts, :]
+    if mode == "mean":
+        out = out / window
+    return out
