@@ -103,6 +103,10 @@ class TrainConfig:
     lr_decay_gamma: float = C.LR_DECAY_GAMMA
     #: Size of the data-parallel mesh axis; <=0 means "all local devices".
     data_parallel: int = -1
+    #: Use the fused Pallas AdamW kernel (one HBM pass per buffer; ~1.8x the
+    #: optax chain on TPU). Falls back to interpret mode off-TPU, so keep it
+    #: disabled for CPU test runs.
+    fused_optimizer: bool = False
     #: Host prefetch depth for the input pipeline.
     prefetch: int = 2
 

@@ -62,7 +62,13 @@ class GANTrainState(struct.PyTreeNode):
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     """AdamW(lr=2e-4, betas=(.8,.99), wd=1e-2) with an injectable learning
     rate (reference optimizer: ste_gan/constants.py:57; torch AdamW default
-    weight decay is 1e-2)."""
+    weight decay is 1e-2). With ``cfg.train.fused_optimizer`` the update runs
+    as the fused Pallas kernel (ste_gan_tpu/ops/fused_adamw.py)."""
+    if getattr(cfg.train, "fused_optimizer", False):
+        from ste_gan_tpu.ops.fused_adamw import fused_adamw
+
+        return fused_adamw(cfg.train.learning_rate, b1=cfg.train.adam_b1,
+                           b2=cfg.train.adam_b2, eps=1e-8, weight_decay=1e-2)
     return optax.inject_hyperparams(optax.adamw)(
         learning_rate=cfg.train.learning_rate,
         b1=cfg.train.adam_b1, b2=cfg.train.adam_b2,
