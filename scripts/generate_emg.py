@@ -75,6 +75,13 @@ def main() -> None:
     models, gen_params = load_generator_params(cfg, run_dir, args.tag)
     synth = EMGSynthesizer(models.generator, gen_params, bucket=args.bucket)
 
+    # First pass compiles each bucket length (slow through a remote tunnel);
+    # the timed second pass measures steady-state serving throughput.
+    start = time.perf_counter()
+    results = convert_dataset(synth, dataset,
+                              feature_key=cfg.model.speech_feature_type,
+                              bucket=args.bucket)
+    cold = time.perf_counter() - start
     start = time.perf_counter()
     results = convert_dataset(synth, dataset,
                               feature_key=cfg.model.speech_feature_type,
@@ -83,8 +90,9 @@ def main() -> None:
 
     total_emg_samples = sum(len(r[C.DataType.FAKE_EMG]) for r in results)
     audio_seconds = total_emg_samples / C.EMG_SAMPLE_RATE
-    print(f"converted {len(results)} utterances ({audio_seconds:.1f}s of EMG) "
-          f"in {elapsed:.2f}s -> RTF {elapsed / max(audio_seconds, 1e-9):.5f}")
+    print(f"converted {len(results)} utterances ({audio_seconds:.1f}s of EMG); "
+          f"cold {cold:.2f}s (incl. compiles), warm {elapsed:.2f}s "
+          f"-> RTF {elapsed / max(audio_seconds, 1e-9):.5f}")
 
     out_dir = args.out_dir or (run_dir / "emg_synth" / args.partition)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -143,20 +143,49 @@ class EMGSynthesizer:
 
 def convert_dataset(synth: EMGSynthesizer, dataset,
                     feature_key: str = C.DataType.SPEECH_UNITS,
-                    bucket: int = 64) -> List[Dict]:
-    """Batched multi-session inference over a dataset split: groups
-    utterances into padded-length buckets, synthesizes with per-session
-    embeddings, returns per-utterance results (BASELINE config #5)."""
-    synth = EMGSynthesizer(synth.generator, synth.params, bucket=bucket)
-    results = []
-    for idx in range(len(dataset)):
-        item = dataset[idx]
-        feats = item[feature_key]
-        emg = synth.synthesize(feats, int(item[C.DataType.SESSION_INDEX]),
-                               int(item[C.DataType.SPEAKING_MODE_INDEX]))
-        results.append({
-            C.DataType.UTT_ID: item[C.DataType.UTT_ID],
-            C.DataType.FAKE_EMG: emg,
-            C.DataType.SESSION_ID: item[C.DataType.SESSION_ID],
-        })
+                    bucket: int = 64, max_batch: int = 16) -> List[Dict]:
+    """Batched multi-session inference over a dataset split
+    (BASELINE config #5).
+
+    Utterances are grouped by padded (bucketed) frame length and synthesized
+    in stacked batches with per-session embedding lookup and per-utterance
+    valid-length masks (exact — see the generator's num_valid_frames). This
+    amortises dispatch/transfer overhead across utterances: one device call
+    per (bucket, batch) instead of per utterance.
+    """
+    up = synth.upsample
+    items = [dataset[i] for i in range(len(dataset))]
+    order = sorted(range(len(items)),
+                   key=lambda i: len(items[i][feature_key]))
+    results: List[Optional[Dict]] = [None] * len(items)
+
+    groups: Dict[int, List[int]] = {}
+    for i in order:
+        padded = _round_up(max(1, len(items[i][feature_key])), bucket)
+        groups.setdefault(padded, []).append(i)
+
+    for padded, indices in groups.items():
+        for start in range(0, len(indices), max_batch):
+            chunk = indices[start:start + max_batch]
+            feats = np.zeros((len(chunk), padded, items[chunk[0]][feature_key].shape[-1]),
+                             np.float32)
+            valid = np.zeros((len(chunk),), np.int32)
+            sess = np.zeros((len(chunk),), np.int32)
+            mode = np.zeros((len(chunk),), np.int32)
+            for row, i in enumerate(chunk):
+                f = items[i][feature_key]
+                feats[row, : len(f)] = f
+                valid[row] = len(f)
+                sess[row] = int(items[i][C.DataType.SESSION_INDEX])
+                mode[row] = int(items[i][C.DataType.SPEAKING_MODE_INDEX])
+            emg = synth._forward(synth.params, jnp.asarray(feats),
+                                 jnp.asarray(sess), jnp.asarray(mode),
+                                 jnp.asarray(valid))
+            emg = np.asarray(emg)
+            for row, i in enumerate(chunk):
+                results[i] = {
+                    C.DataType.UTT_ID: items[i][C.DataType.UTT_ID],
+                    C.DataType.FAKE_EMG: emg[row, : up * valid[row]],
+                    C.DataType.SESSION_ID: items[i][C.DataType.SESSION_ID],
+                }
     return results

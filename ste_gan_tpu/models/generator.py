@@ -57,7 +57,8 @@ class GBlock(nn.Module):
         def mask(h):
             if n_out is None:
                 return h
-            keep = jnp.arange(h.shape[1])[None, :, None] < n_out
+            valid = jnp.reshape(jnp.asarray(n_out), (-1, 1, 1))  # scalar or [B]
+            keep = jnp.arange(h.shape[1])[None, :, None] < valid
             return jnp.where(keep, h, 0).astype(h.dtype)
 
         def wn(name, dilation=1, kernel=k):
@@ -110,10 +111,10 @@ class EMGGeneratorGanTTS(nn.Module):
             speech_features: [B, T, speech_input_dim] feature sequence.
             session_ids: [B] int session indices.
             speaking_mode_ids: [B] int speaking-mode indices (optional).
-            num_valid_frames: optional scalar; frames at index >= this are
-                zeroed *after* the embedding concat, making right-padding
-                exactly equivalent to the conv stack's boundary zero-padding
-                (used by length-bucketed inference).
+            num_valid_frames: optional scalar or [B] vector; frames at
+                index >= this are zeroed *after* the embedding concat, making
+                right-padding exactly equivalent to the conv stack's boundary
+                zero-padding (used by length-bucketed batched inference).
 
         Returns:
             [B, upsample_factor * T, num_emg_channels] EMG in [-1, 1].
@@ -139,6 +140,7 @@ class EMGGeneratorGanTTS(nn.Module):
         def mask(h, valid):
             if valid is None:
                 return h
+            valid = jnp.reshape(jnp.asarray(valid), (-1, 1, 1))  # scalar or [B]
             keep = jnp.arange(h.shape[1])[None, :, None] < valid
             return jnp.where(keep, h, 0).astype(h.dtype)
 

@@ -391,7 +391,8 @@ def main(args: argparse.Namespace) -> None:
     logging.info("train/dev: %d / %d utterances", len(trainset), len(devset))
 
     train_encoder_model(cfg, trainset, devset, output_directory,
-                        debug=args.debug)
+                        debug=args.debug, max_len=args.max_batch_len,
+                        num_epochs=args.num_epochs)
     done_file.write_text("Done training.\n")
 
 
@@ -403,6 +404,9 @@ def parse_args() -> argparse.Namespace:
     parser.add_argument("--emg_enc_cfg", type=str,
                         default="configs/emg_encoder/conv_transformer.yaml")
     parser.add_argument("--debug", action="store_true", default=False)
+    parser.add_argument("--num_epochs", type=int, default=EC.NUM_EPOCHS)
+    parser.add_argument("--max_batch_len", type=int, default=EC.TRAIN_BATCH_MAX_LEN,
+                        help="Total EMG samples per packed batch.")
     return parser.parse_args()
 
 

@@ -162,8 +162,13 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
         acc = {k: 0 for k in ("num_phones", "num_correct", "num_silence",
                               "num_correct_no_silence")}
 
-        for batch in Prefetcher(lambda: iter(train_loader), cfg.train.prefetch):
-            batch = shard_batch(mesh, _drop_none(batch))
+        def _sharded_batches():
+            # shard_batch (async device_put) runs in the prefetch thread so
+            # host->device transfer of batch k+1 overlaps step k's compute.
+            for host_batch in train_loader:
+                yield shard_batch(mesh, _drop_none(host_batch))
+
+        for batch in Prefetcher(_sharded_batches, cfg.train.prefetch):
             state, metrics = train_step(state, batch, encoder_variables)
             steps += 1
 

@@ -70,3 +70,10 @@ class TestSynthesizer:
             assert res[C.DataType.FAKE_EMG].shape == (
                 16 * len(item[C.DataType.SPEECH_UNITS]), 8)
             assert res[C.DataType.UTT_ID] == item[C.DataType.UTT_ID]
+            # Batched (bucketed, per-sample-masked) output equals the
+            # single-utterance exact path.
+            exact = synth.synthesize(item[C.DataType.SPEECH_UNITS],
+                                     int(item[C.DataType.SESSION_INDEX]),
+                                     int(item[C.DataType.SPEAKING_MODE_INDEX]))
+            np.testing.assert_allclose(res[C.DataType.FAKE_EMG], exact,
+                                       atol=1e-5)
