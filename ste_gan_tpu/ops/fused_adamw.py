@@ -6,7 +6,8 @@ update of the GAN step measures ~6 ms, far from the HBM roofline. This
 kernel performs the whole update (bias-corrected Adam moments + decoupled
 weight decay + parameter application) in ONE pass per buffer: each grid step
 reads tiles of (param, grad, m, v) from HBM into VMEM, computes on the VPU,
-and writes (param', m', v') back.
+and writes (param', m', v') back (~1.3x the optax chain on v5e, chained-state
+timing).
 
 Semantics match ``optax.adamw(lr, b1, b2, eps, weight_decay)`` exactly
 (verified against optax in tests):
