@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import itertools
 import logging
+import signal
 import sys
 import time
 from pathlib import Path
@@ -71,8 +72,12 @@ def load_frozen_encoder(cfg: Config, models: GANModels,
 
 
 def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
-          emg_enc_ckpt: Optional[Path] = None) -> Dict[str, float]:
-    """Run adversarial training. Returns the final validation metrics."""
+          emg_enc_ckpt: Optional[Path] = None,
+          profile_steps: int = 0) -> Dict[str, float]:
+    """Run adversarial training. Returns the final validation metrics.
+
+    ``profile_steps > 0`` captures a jax.profiler trace of that many steps
+    (written under <run_dir>/profile, viewable in TensorBoard/Perfetto)."""
     model_directory = Path(model_directory)
     writer = MetricLogger(model_directory)
     requested = (cfg.train.data_parallel if cfg.train.data_parallel > 0
@@ -150,6 +155,21 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
                 file_id=f"Validation sample {i}",
                 metric_logger=writer, global_step=step)
 
+    # Failure detection: on SIGTERM/SIGINT (preemption), save a resumable
+    # checkpoint before exiting (the reference can only resume from its last
+    # periodic save; see SURVEY.md §5 "failure detection").
+    interrupted = {"flag": False}
+
+    def _handle_signal(signum, frame):
+        logging.warning("Signal %d received — saving preemption checkpoint", signum)
+        interrupted["flag"] = True
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _handle_signal)
+        except ValueError:  # not in main thread
+            break
+
     # Per-epoch accumulated phoneme counters (device arrays, no sync).
     for epoch in itertools.count(start_epoch + 1):
         logging.info("Starting epoch %d", epoch)
@@ -169,8 +189,21 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
                 yield shard_batch(mesh, _drop_none(host_batch))
 
         for batch in Prefetcher(_sharded_batches, cfg.train.prefetch):
+            if profile_steps and steps == 10:
+                jax.profiler.start_trace(str(model_directory / "profile"))
             state, metrics = train_step(state, batch, encoder_variables)
             steps += 1
+            if profile_steps and steps == 10 + profile_steps:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                logging.info("Wrote profiler trace to %s",
+                             model_directory / "profile")
+
+            if interrupted["flag"]:
+                ckpt.save_periodic(state, steps, epoch)
+                logging.warning("Preemption checkpoint at step %d; exiting", steps)
+                writer.close()
+                return final_val
 
             for key in acc:
                 acc[key] += metrics[f"count/{key}"]  # device-side, async
@@ -268,7 +301,8 @@ def main(args: argparse.Namespace) -> None:
         resume = True  # explicit checkpoint dir implies resume semantics
 
     train(cfg, output_directory, resume=resume, debug=debug,
-          emg_enc_ckpt=args.emg_enc_ckpt or None)
+          emg_enc_ckpt=args.emg_enc_ckpt or None,
+          profile_steps=args.profile_steps)
 
 
 def parse_args() -> argparse.Namespace:
@@ -283,6 +317,8 @@ def parse_args() -> argparse.Namespace:
                         help="Optional checkpoint to start training from.")
     parser.add_argument("--continue_run", action="store_true")
     parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="Capture a jax.profiler trace of N steps.")
     return add_eval_hyperparams_to_parser(parser).parse_args()
 
 
