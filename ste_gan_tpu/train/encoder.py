@@ -125,6 +125,53 @@ def silent_sample_loss(su_pred, ph_pred, su_target, ph_target,
     return jnp.sum(picked) / t_target, alignment
 
 
+def silent_losses_host(su_pred_flat: np.ndarray, ph_pred_flat: np.ndarray,
+                       items, confusion: Optional[np.ndarray] = None):
+    """Host-side DTW losses + aligned phoneme counts for the silent samples
+    of a folded batch (the eval analogue of the reference's silent branch in
+    speech_unit_loss_combined; ste_gan/emg_encoder/train.py:120-144).
+
+    Predictions are sliced per utterance from the flattened 50 Hz frame axis
+    (same ordering as the fold); alignment uses the native C++ DTW kernel
+    when built.
+
+    Returns (sum_of_silent_losses, num_correct, num_total).
+    """
+    from ste_gan_tpu.ops.dtw import align_from_distances
+
+    w_su = EC.LOSS_WEIGHT_SPEECH_UNITS
+    w_ph = EC.LOSS_WEIGHT_PHONEMES
+    total_loss, correct, total = 0.0, 0, 0
+    offset = 0
+    for item in items:
+        # Prediction frames derive from the EMG length (16:1); silent
+        # samples' targets (from the parallel voiced recording) are shorter
+        # or longer — DTW aligns them.
+        frames = len(item[C.DataType.REAL_EMG]) // EC.EMG_SIGNAL_TO_SPEECH_UNITS
+        su_pred = su_pred_flat[offset:offset + frames]
+        ph_pred = ph_pred_flat[offset:offset + frames]
+        offset += frames
+        if item[C.DataType.SPEAKING_MODE_ID] == C.SpeakingMode.NORMAL:
+            continue
+        su_target = np.asarray(item[C.DataType.SPEECH_UNITS], np.float32)
+        ph_target = np.asarray(item[C.DataType.PHONEMES], np.int64)
+        dists = np.sqrt(np.sum(np.square(
+            su_pred[:, None, :] - su_target[None, :, :]), axis=-1) + 1e-12)
+        logits = ph_pred - ph_pred.max(axis=-1, keepdims=True)
+        logp = logits - np.log(np.exp(logits).sum(axis=-1, keepdims=True))
+        costs = w_su * dists + w_ph * (-logp[:, ph_target])
+        alignment = np.asarray(align_from_distances(
+            np.ascontiguousarray(costs.T, np.float32)))
+        total_loss += float(costs[alignment, np.arange(len(ph_target))].sum()
+                            / len(su_target))
+        pred_phone = logp.argmax(-1)[alignment]
+        correct += int((pred_phone == ph_target).sum())
+        total += len(ph_target)
+        if confusion is not None:
+            np.add.at(confusion, (pred_phone, ph_target), 1)
+    return total_loss, correct, total
+
+
 # ---------------------------------------------------------------------------
 # Train/eval steps
 # ---------------------------------------------------------------------------
@@ -226,20 +273,38 @@ def warmup_lr(batch_idx: int, target: float = EC.LEARNING_RATE,
 def evaluate(model, eval_step, state: EncoderTrainState, dataset: EMGDataset,
              n_win: int, max_samples: int,
              batch_size: int = EC.BATCH_SIZE) -> Tuple[float, float, np.ndarray]:
-    """Mean loss + phoneme accuracy + confusion over the (voiced) dev set
-    (reference test(); ste_gan/emg_encoder/train.py:37-63)."""
+    """Mean loss + phoneme accuracy + confusion over the dev set (reference
+    test(); ste_gan/emg_encoder/train.py:37-63). Voiced samples use the
+    vectorised jit path; silent samples (if present in the dataset) use the
+    host-side DTW-aligned path, combined exactly like the reference
+    (sum over samples / total samples)."""
     losses, correct, total = [], 0, 0
     confusion = np.zeros((C.NUM_PHONEMES, C.NUM_PHONEMES), np.int64)
+    has_silent = any(mode != C.SpeakingMode.NORMAL
+                     for mode in dataset.speaking_mode_ids)
     for start in range(0, len(dataset), batch_size):
         items = [dataset[i] for i in range(start, min(start + batch_size,
                                                       len(dataset)))]
         batch = fold_encoder_batch(items, n_win=n_win,
                                    max_samples=max_samples).as_dict()
         out = eval_step(state.params, state.batch_stats, batch)
-        losses.append(float(out["loss"]))
+        batch_loss = float(out["loss"])
         correct += int(out["num_correct"])
         total += int(out["num_frames"])
         confusion += np.asarray(out["confusion"], np.int64)
+        if has_silent:
+            su_pred, ph_pred = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["emg_windows"], train=False)
+            n, f, d = su_pred.shape
+            silent_loss, silent_correct, silent_total = silent_losses_host(
+                np.asarray(su_pred.reshape(n * f, d)),
+                np.asarray(ph_pred.reshape(n * f, -1)),
+                items, confusion=confusion)
+            batch_loss += silent_loss / len(items)
+            correct += silent_correct
+            total += silent_total
+        losses.append(batch_loss)
     acc = correct / max(total, 1)
     return float(np.mean(losses)), acc, confusion
 

@@ -103,18 +103,29 @@ def fold_encoder_batch(
     emg[:total] = np.concatenate(emg_list, axis=0)
     emg_windows = emg.reshape(n_win, window, num_channels)
 
-    total_frames = total // emg_ratio
+    # Prediction frames per utterance derive from the EMG length (like the
+    # reference's speech_unit_lengths = len(emg)//16). For voiced samples
+    # this equals the target length; for silent samples the targets come
+    # from the parallel voiced recording with a DIFFERENT length — their
+    # target slots are zero-filled here (excluded from the voiced loss by
+    # the silent mask; the DTW eval path uses the per-item targets
+    # directly).
     frame_capacity = n_win * frames_per_win
     su = np.zeros((frame_capacity, su_list[0].shape[-1]), np.float32)
-    su[:total_frames] = np.concatenate(su_list, axis=0)
     ph = np.zeros((frame_capacity,), np.int32)
-    ph[:total_frames] = np.concatenate(ph_list, axis=0)
-
     sample_id = np.full((frame_capacity,), -1, np.int32)
     offset = 0
-    for k, su_utt in enumerate(su_list):
-        sample_id[offset:offset + len(su_utt)] = k
-        offset += len(su_utt)
+    for k, (emg_utt, su_utt, ph_utt, silent) in enumerate(
+            zip(emg_list, su_list, ph_list, silent_flags)):
+        pred_frames = len(emg_utt) // emg_ratio
+        sample_id[offset:offset + pred_frames] = k
+        if not silent:
+            assert len(su_utt) == pred_frames, (
+                f"voiced sample {k}: {len(su_utt)} target frames vs "
+                f"{pred_frames} prediction frames")
+            su[offset:offset + pred_frames] = su_utt
+            ph[offset:offset + pred_frames] = ph_utt
+        offset += pred_frames
 
     silent = np.zeros((max_samples,), bool)
     silent[: len(items)] = silent_flags
