@@ -15,7 +15,7 @@ host-side; device-side PRNG is reserved for model stochasticity).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -22,7 +22,7 @@ Artifacts are written as ``.npy`` under the reference's directory layout
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import numpy as np
 

@@ -12,8 +12,6 @@ features live in :mod:`ste_gan_tpu.losses.td_loss` as pure jnp.
 """
 from __future__ import annotations
 
-from typing import Iterable, Tuple
-
 import numpy as np
 import scipy.signal
 

@@ -18,8 +18,7 @@ Here inference is a first-class subsystem:
 from __future__ import annotations
 
 import time
-from functools import partial
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ non-TPU backends and tiny leaves.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Any, NamedTuple
 
