@@ -46,19 +46,27 @@ class GBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, num_valid=None):
-        """``num_valid`` (scalar, at the *input* frame rate) zeroes every
-        activation beyond the valid region after each conv, making explicit
-        right-padding bit-equivalent to the conv stack's boundary
-        zero-padding — see EMGGeneratorGanTTS.__call__(num_valid_frames)."""
+    def __call__(self, x, num_valid=None, valid_start=None):
+        """``num_valid`` / ``valid_start`` (scalars or [B], at the *input*
+        frame rate) zero every activation outside [valid_start, num_valid)
+        after each conv, making explicit left/right padding bit-equivalent
+        to the conv stack's boundary zero-padding — see
+        EMGGeneratorGanTTS.__call__(num_valid_frames)."""
         k = self.kernel_size
         n_out = None if num_valid is None else num_valid * self.upsample
+        s_out = None if valid_start is None else valid_start * self.upsample
 
         def mask(h):
-            if n_out is None:
+            if n_out is None and s_out is None:
                 return h
-            valid = jnp.reshape(jnp.asarray(n_out), (-1, 1, 1))  # scalar or [B]
-            keep = jnp.arange(h.shape[1])[None, :, None] < valid
+            pos = jnp.arange(h.shape[1])[None, :, None]
+            keep = jnp.full(h.shape, True)
+            if n_out is not None:
+                valid = jnp.reshape(jnp.asarray(n_out), (-1, 1, 1))
+                keep = keep & (pos < valid)
+            if s_out is not None:
+                start = jnp.reshape(jnp.asarray(s_out), (-1, 1, 1))
+                keep = keep & (pos >= start)
             return jnp.where(keep, h, 0).astype(h.dtype)
 
         def wn(name, dilation=1, kernel=k):
@@ -106,7 +114,7 @@ class EMGGeneratorGanTTS(nn.Module):
 
     @nn.compact
     def __call__(self, speech_features, session_ids, speaking_mode_ids=None,
-                 num_valid_frames=None):
+                 num_valid_frames=None, valid_start_frames=None):
         """Args:
             speech_features: [B, T, speech_input_dim] feature sequence.
             session_ids: [B] int session indices.
@@ -115,6 +123,9 @@ class EMGGeneratorGanTTS(nn.Module):
                 index >= this are zeroed *after* the embedding concat, making
                 right-padding exactly equivalent to the conv stack's boundary
                 zero-padding (used by length-bucketed batched inference).
+            valid_start_frames: optional scalar or [B] vector; frames at
+                index < this are zeroed likewise (left padding, used by
+                sequence-parallel halo windows).
 
         Returns:
             [B, upsample_factor * T, num_emg_channels] EMG in [-1, 1].
@@ -137,20 +148,25 @@ class EMGGeneratorGanTTS(nn.Module):
                                 name="speaking_mode_embeddings")(speaking_mode_ids)
             x = jnp.concatenate([x, _tile(mode_emb)], axis=-1)
 
-        def mask(h, valid):
-            if valid is None:
+        def mask(h, valid, start):
+            if valid is None and start is None:
                 return h
-            valid = jnp.reshape(jnp.asarray(valid), (-1, 1, 1))  # scalar or [B]
-            keep = jnp.arange(h.shape[1])[None, :, None] < valid
+            pos = jnp.arange(h.shape[1])[None, :, None]
+            keep = jnp.full(h.shape, True)
+            if valid is not None:
+                keep = keep & (pos < jnp.reshape(jnp.asarray(valid), (-1, 1, 1)))
+            if start is not None:
+                keep = keep & (pos >= jnp.reshape(jnp.asarray(start), (-1, 1, 1)))
             return jnp.where(keep, h, 0).astype(h.dtype)
 
         num_valid = num_valid_frames
-        x = mask(x, num_valid)
+        num_start = valid_start_frames
+        x = mask(x, num_valid, num_start)
 
         ch = self.channels
         upsample_last = 2 if self.speech_feature_type == C.DataType.SPEECH_UNITS else 1
         x = mask(WNConv(ch, (1,), dtype=self.dtype, name="input_conv")(x),
-                 num_valid)
+                 num_valid, num_start)
         # (output_dim, upsample): 2 processing blocks, 4 upsampling blocks
         # (50 -> 100 -> 200 -> 400 -> [800] Hz), 2 processing blocks.
         block_spec: Sequence = (
@@ -160,13 +176,15 @@ class EMGGeneratorGanTTS(nn.Module):
         )
         for i, (out_dim, up) in enumerate(block_spec):
             x = GBlock(out_dim, upsample=up, dtype=self.dtype,
-                       name=f"gblock_{i}")(x, num_valid)
+                       name=f"gblock_{i}")(x, num_valid, num_start)
             if num_valid is not None:
                 num_valid = num_valid * up
+            if num_start is not None:
+                num_start = num_start * up
 
         x = nn.relu(x)
         x = mask(WNConv(self.num_emg_channels, (3,), padding=1, dtype=self.dtype,
-                        name="out_conv")(x), num_valid)
+                        name="out_conv")(x), num_valid, num_start)
         return jnp.tanh(x.astype(jnp.float32))
 
     def generate(self, variables, speech_features, session_ids,
