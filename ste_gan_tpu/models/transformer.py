@@ -91,14 +91,21 @@ class RelativePositionalLogits(nn.Module):
             start = self.max_distance - length
             table = jax.lax.dynamic_slice_in_dim(emb, start, 2 * length - 1, axis=1)
 
-        # [B, H, L, M] logits against every offset bucket, then one gather to
-        # [B, H, L, L] (replaces the reference's pad/reshape skew trick).
+        # [B, H, L, M] logits against every offset bucket, then the
+        # pad/reshape "skew" re-indexing to [B, H, L, L]. The skew is pure
+        # pads/reshapes/slices — unlike a gather it needs no layout-change
+        # copies on TPU (measured: the gather variant forced a relayout of
+        # every [B,H,L,2L-1] tensor).
         logits = jnp.einsum("bhld,hmd->bhlm", q.astype(self.dtype),
                             table.astype(self.dtype))
-        idx = relative_position_index(length)
-        out = jnp.take_along_axis(
-            logits, jnp.broadcast_to(idx, (1, 1, length, length)), axis=-1)
+        b, h = logits.shape[:2]
+        x = jnp.pad(logits, ((0, 0), (0, 0), (0, 0), (0, 1)))  # [b,h,L,2L]
+        x = x.reshape(b, h, length * 2 * length)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, length - 1)))
+        x = x.reshape(b, h, length + 1, 2 * length - 1)
+        out = x[:, :, :length, length - 1:]
         if length > self.max_distance:
+            idx = relative_position_index(length)
             offset = idx - (length - 1)
             out_of_range = jnp.abs(offset) >= self.max_distance
             out = out + jnp.where(out_of_range, -1e8, 0.0).astype(out.dtype)
