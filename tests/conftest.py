@@ -17,6 +17,11 @@ import jax  # noqa: E402
 # config route is authoritative and must run before any backend is touched.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: cuts repeat suite runs substantially.
+from ste_gan_tpu.utils.jax_setup import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
