@@ -46,6 +46,24 @@ def remove_drift(signal: np.ndarray, fs: float) -> np.ndarray:
     return scipy.signal.filtfilt(b, a, signal)
 
 
+def bandpass_signal(signal: np.ndarray, fs: float) -> np.ndarray:
+    """2-400 Hz band-pass (reference emg_utils.py:47-49)."""
+    b, a = scipy.signal.butter(2, (2, 400), "bandpass", fs=fs)
+    return scipy.signal.filtfilt(b, a, signal)
+
+
+def lowpass_after_bandpass(signal: np.ndarray, fs: float) -> np.ndarray:
+    """10 Hz low-pass (reference emg_utils.py:52-54)."""
+    b, a = scipy.signal.butter(2, 10, "lowpass", fs=fs)
+    return scipy.signal.filtfilt(b, a, signal)
+
+
+def average_by_points(signal: np.ndarray, points: int) -> np.ndarray:
+    """Centered moving average (reference emg_utils.py:38-41)."""
+    f = np.ones(points) / float(points)
+    return np.convolve(signal, f, mode="same")
+
+
 def double_average(x: np.ndarray) -> np.ndarray:
     assert x.ndim == 1
     f = np.ones(9) / 9.0

@@ -155,3 +155,15 @@ class TestMFCC:
         assert np.abs(out).max() <= 1.0
         rms = audio_dsp._frame_rms_centered(out).max()
         assert rms < 0.35
+
+
+class TestAuxFilters:
+    def test_bandpass_and_lowpass_match_reference(self, rng):
+        ref = import_reference("ste_gan.utils.emg_utils")
+        x = rng.normal(size=900)
+        np.testing.assert_allclose(emg_dsp.bandpass_signal(x, 1000),
+                                   ref.bandpass_signal(x, 1000), rtol=1e-8)
+        np.testing.assert_allclose(emg_dsp.lowpass_after_bandpass(x, 1000),
+                                   ref.lowpass_after_bandpass(x, 1000), rtol=1e-8)
+        np.testing.assert_allclose(emg_dsp.average_by_points(x, 7),
+                                   ref.average_by_points(x, 7), rtol=1e-9)
