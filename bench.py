@@ -32,6 +32,10 @@ def main() -> None:
 
     enable_compilation_cache()
     cfg = Config()  # full-size defaults: batch 32, chunk 2048, bf16
+    # Performance mode: stack (fake, real) into single discriminator passes
+    # (identical loss math; only the spectral-norm power-iteration cadence
+    # differs — see TrainConfig.fused_disc_passes).
+    cfg.train.fused_disc_passes = True
     models = build_models(cfg)
     rng = jax.random.PRNGKey(0)
     encoder_variables = jax.jit(lambda r: models.encoder.init(

@@ -107,6 +107,11 @@ class TrainConfig:
     #: optax chain on TPU). Falls back to interpret mode off-TPU, so keep it
     #: disabled for CPU test runs.
     fused_optimizer: bool = False
+    #: Stack (fake, real) into one batch-2B discriminator pass (half the
+    #: ensemble launches; identical losses). Advances the spectral-norm
+    #: power iteration once per pair instead of twice — the only deviation
+    #: from reference semantics, hence off by default.
+    fused_disc_passes: bool = False
     #: Host prefetch depth for the input pipeline.
     prefetch: int = 2
 

@@ -158,3 +158,27 @@ class TestDataParallel:
         for key in ("val/waveform", "val/multi_td", "val/speech_unit",
                     "val/phoneme", "count/num_phones"):
             assert np.isfinite(float(metrics[key])), key
+
+
+class TestFusedDiscPasses:
+    def test_losses_match_unfused(self):
+        """Stacked (fake, real) discriminator passes compute the same loss
+        math; small deltas come only from the spectral-norm power-iteration
+        cadence (one iteration per stacked pass vs one per input), so values
+        agree closely but not bitwise."""
+        cfg = tiny_cfg()
+        models, enc_vars = tiny_models(cfg, jax.random.PRNGKey(1))
+        batch = synthetic_batch(cfg)
+
+        state0 = init_state(cfg, models, jax.random.PRNGKey(0))
+        _, m_ref = jax.jit(make_train_step(cfg, models))(state0, batch, enc_vars)
+
+        cfg_f = tiny_cfg()
+        cfg_f.train.fused_disc_passes = True
+        state1 = init_state(cfg_f, models, jax.random.PRNGKey(0))
+        _, m_fused = jax.jit(make_train_step(cfg_f, models))(state1, batch, enc_vars)
+
+        for key in ("loss/discriminator", "loss/adversarial",
+                    "loss/feature_matching", "loss/generator"):
+            np.testing.assert_allclose(float(m_fused[key]), float(m_ref[key]),
+                                       rtol=5e-2, err_msg=key)
