@@ -89,10 +89,12 @@ def measure(batch_size: int, chunk: int, steps: int, warmup: int = 1) -> dict:
 
     for _ in range(warmup):
         one_step()
-    start = time.perf_counter()
+    per_step = []
     for _ in range(steps):
+        start = time.perf_counter()
         one_step()
-    elapsed = (time.perf_counter() - start) / steps
+        per_step.append(time.perf_counter() - start)
+    elapsed = float(np.mean(per_step))
 
     ch_samples = batch_size * chunk * 8
     return {
@@ -100,7 +102,10 @@ def measure(batch_size: int, chunk: int, steps: int, warmup: int = 1) -> dict:
         "batch_size": batch_size,
         "chunk_size": chunk,
         "steps_timed": steps,
+        "warmup_steps": warmup,
         "sec_per_step": elapsed,
+        "sec_per_step_std": float(np.std(per_step)),
+        "sec_per_step_all": [round(t, 3) for t in per_step],
         "emg_channel_samples_per_sec": ch_samples / elapsed,
         "torch_version": torch.__version__,
         "cpu_count": __import__("os").cpu_count(),
@@ -109,7 +114,7 @@ def measure(batch_size: int, chunk: int, steps: int, warmup: int = 1) -> dict:
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
-    parser.add_argument("--steps", type=int, default=3)
+    parser.add_argument("--steps", type=int, default=5)
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--chunk", type=int, default=2048)
     args = parser.parse_args()

@@ -8,10 +8,11 @@ maximum distance (100): relative offsets beyond the window contribute a
 -1e8 logit, i.e. attention is effectively windowed to +/-(max_distance - 1).
 
 TPU-native design: batch-first [B, T, D] (the reference is time-first), all
-projections as einsums that lower onto the MXU, and the reference's
-pad/reshape "skew trick" replaced by one gather (``take_along_axis``) over a
-relative-offset index matrix — cheaper to fuse and trivially correct under
-jit's static shapes.
+projections as einsums that lower onto the MXU, and relative-to-absolute
+re-indexing done with the pad/reshape "skew trick" (pure pads/reshapes/
+slices). A gather (``take_along_axis``) variant was tried and reverted: on
+TPU the gather forces layout-change copies of every [B,H,L,2L-1] logits
+tensor (measured +6.5 ms/step in the fused GAN step — see PARITY.md).
 """
 from __future__ import annotations
 
@@ -129,13 +130,17 @@ class MultiHeadAttention(nn.Module):
         assert d_qkv * self.num_heads == self.d_model
 
         def proj_param(name):
-            # xavier_normal over (d_model, d_qkv) fan axes, like the reference.
-            std = math.sqrt(2.0 / (self.d_model + d_qkv))
+            # xavier_normal_ on the reference's [H, d_model, d_qkv] tensor uses
+            # PyTorch's >2-D fan rule: fan_in = size(1)*prod(shape[2:]) =
+            # d_model*d_qkv, fan_out = size(0)*prod(shape[2:]) = H*d_qkv, so
+            # std = sqrt(2 / ((d_model + H) * d_qkv)).
+            std = math.sqrt(2.0 / ((self.d_model + self.num_heads) * d_qkv))
             return self.param(name, nn.initializers.normal(std),
                               (self.num_heads, self.d_model, d_qkv))
 
         w_q, w_k, w_v = proj_param("w_q"), proj_param("w_k"), proj_param("w_v")
-        std_o = math.sqrt(2.0 / (self.d_model + d_qkv))
+        # w_o is [H, d_qkv, d_model]: fan_in = d_qkv*d_model, fan_out = H*d_model.
+        std_o = math.sqrt(2.0 / ((d_qkv + self.num_heads) * self.d_model))
         w_o = self.param("w_o", nn.initializers.normal(std_o),
                          (self.num_heads, d_qkv, self.d_model))
 

@@ -88,6 +88,28 @@ class CheckpointManager:
         return self.restore(tag, template)
 
 
+def restore_from_path(path: Path, template: Any) -> Tuple[Any, int]:
+    """Restore a train state from an explicit ``--checkpoint`` path.
+
+    ``path`` may point at a single checkpoint directory (e.g.
+    ``<run>/checkpoint-00010000``, ``<run>/best``) or at a run directory, in
+    which case the newest checkpoint inside it is used — the analogue of the
+    reference's explicit-checkpoint start (ste_gan/utils/common.py:23-61).
+    """
+    path = Path(path).resolve()
+    if not path.is_dir():
+        raise FileNotFoundError(f"--checkpoint path does not exist: {path}")
+    if (_STEP_RE.match(path.name) or path.name in
+            ("checkpoint-final", "checkpoint-last", "best")):
+        mgr = CheckpointManager(path.parent)
+        logging.info("Restoring from explicit checkpoint: %s", path)
+        return mgr.restore(path.name, template)
+    restored = CheckpointManager(path).restore_latest(template)
+    if restored is None:
+        raise FileNotFoundError(f"No checkpoints found under run dir: {path}")
+    return restored
+
+
 # ---------------------------------------------------------------------------
 # Standalone pytrees (frozen EMG encoder, exported generators)
 # ---------------------------------------------------------------------------

@@ -42,7 +42,8 @@ from ste_gan_tpu.data.loader import Prefetcher, loaders_via_config
 from ste_gan_tpu.infer import EMGSynthesizer
 from ste_gan_tpu.parallel.mesh import (
     create_mesh, largest_divisor_mesh_size, replicate, shard_batch)
-from ste_gan_tpu.train.checkpoint import CheckpointManager, load_pytree
+from ste_gan_tpu.train.checkpoint import (
+    CheckpointManager, load_pytree, restore_from_path)
 from ste_gan_tpu.train.gan import (
     GANModels, build_models, epoch_lr, init_state, make_eval_step,
     make_train_step, set_learning_rate)
@@ -73,11 +74,14 @@ def load_frozen_encoder(cfg: Config, models: GANModels,
 
 def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
           emg_enc_ckpt: Optional[Path] = None,
-          profile_steps: int = 0) -> Dict[str, float]:
+          profile_steps: int = 0,
+          init_checkpoint: Optional[Path] = None) -> Dict[str, float]:
     """Run adversarial training. Returns the final validation metrics.
 
     ``profile_steps > 0`` captures a jax.profiler trace of that many steps
-    (written under <run_dir>/profile, viewable in TensorBoard/Perfetto)."""
+    (written under <run_dir>/profile, viewable in TensorBoard/Perfetto).
+    ``init_checkpoint`` restores the full train state from an explicit
+    checkpoint (or run) directory instead of the run dir's latest."""
     model_directory = Path(model_directory)
     writer = MetricLogger(model_directory)
     requested = (cfg.train.data_parallel if cfg.train.data_parallel > 0
@@ -93,7 +97,9 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     state = init_state(cfg, models, state_rng)
     ckpt = CheckpointManager(model_directory)
     start_epoch = -1
-    if resume:
+    if init_checkpoint is not None:
+        state, start_epoch = restore_from_path(Path(init_checkpoint), state)
+    elif resume:
         restored = ckpt.restore_latest(state)
         if restored is not None:
             state, start_epoch = restored
@@ -188,12 +194,16 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
             for host_batch in train_loader:
                 yield shard_batch(mesh, _drop_none(host_batch))
 
+        # Interval checks below use the PRE-increment step index, with
+        # ``steps += 1`` at the end of the loop body — matching the
+        # reference's cadence (ste_gan/train.py:275-468: checks fire on the
+        # pre-increment counter, so step-0 logging/validation fires and
+        # step-indexed TensorBoard curves align with reference runs).
         for batch in Prefetcher(_sharded_batches, cfg.train.prefetch):
             if profile_steps and steps == 10:
                 jax.profiler.start_trace(str(model_directory / "profile"))
             state, metrics = train_step(state, batch, encoder_variables)
-            steps += 1
-            if profile_steps and steps == 10 + profile_steps:
+            if profile_steps and steps == 9 + profile_steps:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
                 logging.info("Wrote profiler trace to %s",
@@ -257,6 +267,8 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
                 writer.close()
                 return final_val
 
+            steps += 1
+
         logging.info("Finished epoch %d in %.1fs", epoch,
                      time.time() - epoch_start)
         if epoch % 5 == 0:
@@ -297,12 +309,10 @@ def main(args: argparse.Namespace) -> None:
     from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
     enable_compilation_cache()
 
-    if args.checkpoint:
-        resume = True  # explicit checkpoint dir implies resume semantics
-
     train(cfg, output_directory, resume=resume, debug=debug,
           emg_enc_ckpt=args.emg_enc_ckpt or None,
-          profile_steps=args.profile_steps)
+          profile_steps=args.profile_steps,
+          init_checkpoint=args.checkpoint)
 
 
 def parse_args() -> argparse.Namespace:
@@ -314,7 +324,8 @@ def parse_args() -> argparse.Namespace:
     parser.add_argument("--emg_enc_ckpt", type=str, default="",
                         help="Orbax checkpoint dir of a pre-trained EMG encoder.")
     parser.add_argument("--checkpoint", type=Path, default=None,
-                        help="Optional checkpoint to start training from.")
+                        help="Explicit checkpoint (or run) directory to "
+                             "restore the train state from.")
     parser.add_argument("--continue_run", action="store_true")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--profile_steps", type=int, default=0,

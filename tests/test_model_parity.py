@@ -133,3 +133,28 @@ class TestEncoderParity:
                                    rtol=1e-3, atol=1e-3)
         np.testing.assert_allclose(np.asarray(got_phones), want_phones.numpy(),
                                    rtol=1e-3, atol=1e-3)
+
+
+class TestInitParity:
+    def test_mha_init_std_matches_torch_xavier_fan_rule(self):
+        """From-scratch init parity (ADVICE r1): xavier_normal_ on the
+        reference's 3-D projection tensors uses PyTorch's >2-D fan rule
+        (fan = trailing-dims product), not the 2-D (d_model+d_qkv) rule."""
+        from ste_gan_tpu.models.transformer import MultiHeadAttention
+
+        d_model, heads = 768, 8
+        d_qkv = d_model // heads
+        mha = MultiHeadAttention(d_model=d_model, num_heads=heads)
+        params = mha.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 16, d_model)))["params"]
+
+        for name, torch_shape in [("w_q", (heads, d_model, d_qkv)),
+                                  ("w_k", (heads, d_model, d_qkv)),
+                                  ("w_v", (heads, d_model, d_qkv)),
+                                  ("w_o", (heads, d_qkv, d_model))]:
+            fan_in, fan_out = torch.nn.init._calculate_fan_in_and_fan_out(
+                torch.empty(*torch_shape))
+            want_std = float(np.sqrt(2.0 / (fan_in + fan_out)))
+            got_std = float(np.asarray(params[name]).std())
+            assert abs(got_std - want_std) / want_std < 0.03, (
+                f"{name}: got std {got_std}, torch xavier_normal_ {want_std}")

