@@ -199,8 +199,13 @@ class EMGDataset:
 
         if self.strict:
             assert len(units) == len(phonemes)
-            assert len(real_emg) == C.HOPSIZE * len(units)
-            assert len(real_emg) == C.HOPSIZE * len(phonemes)
+            # Silent utterances carry targets from the PARALLEL voiced
+            # recording with an unrelated length; the prep pipeline only
+            # guarantees the 16x invariant for voiced samples (reference
+            # scripts/prep_data_gaddy_and_klein.py:386-407).
+            if self.speaking_mode_ids[index] == C.SpeakingMode.NORMAL:
+                assert len(real_emg) == C.HOPSIZE * len(units)
+                assert len(real_emg) == C.HOPSIZE * len(phonemes)
 
         item = {
             C.DataType.UTT_ID: self.utt_ids[index],

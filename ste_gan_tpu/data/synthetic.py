@@ -38,21 +38,35 @@ def _smooth(x: np.ndarray, window: int) -> np.ndarray:
 def synth_utterance(rng: np.random.Generator, num_frames: int,
                     session_idx: int, num_channels: int = C.NUM_EMG_CHANNELS,
                     silent: bool = False) -> Dict[str, np.ndarray]:
-    """Generate one utterance worth of aligned artifacts."""
+    """Generate one utterance worth of aligned artifacts.
+
+    ``silent=True`` mimics the real corpus: the unit/phoneme/MFCC targets
+    come from a "parallel voiced recording" with a DIFFERENT frame count
+    (reference prep stores parallel_speech_units for silent utterances;
+    scripts/prep_data_gaddy_and_klein.py:372-379), while the EMG keeps its
+    own length — so ``len(emg) != 16 * len(units)`` for silent samples,
+    exactly like real silent data. The EMG is built from a time-warped
+    version of the target trajectory, so DTW alignment has real structure.
+    """
     hop = C.HOPSIZE
     num_emg = num_frames * hop
+    if silent:
+        num_target_frames = max(8, int(round(
+            num_frames * rng.uniform(0.75, 1.25))))
+    else:
+        num_target_frames = num_frames
 
     # Phoneme segments: random lengths of 4-20 frames.
-    phonemes = np.zeros(num_frames, dtype=np.int64)
+    phonemes = np.zeros(num_target_frames, dtype=np.int64)
     pos = 0
-    while pos < num_frames:
+    while pos < num_target_frames:
         seg = int(rng.integers(4, 20))
         phonemes[pos:pos + seg] = int(rng.integers(0, C.NUM_PHONEMES))
         pos += seg
 
     # Speech units: smooth per-phoneme anchors + low-pass noise.
     anchors = rng.normal(0.0, 1.0, size=(C.NUM_PHONEMES, C.SPEECH_UNITS_FEAT_SIZE))
-    units = anchors[phonemes] + 0.25 * rng.normal(size=(num_frames, C.SPEECH_UNITS_FEAT_SIZE))
+    units = anchors[phonemes] + 0.25 * rng.normal(size=(num_target_frames, C.SPEECH_UNITS_FEAT_SIZE))
     units = _smooth(units, 5).astype(np.float32)
 
     # MFCCs at 2x the unit rate, derived from the unit trajectory.
@@ -60,11 +74,18 @@ def synth_utterance(rng: np.random.Generator, num_frames: int,
     mfccs = np.repeat(units @ mix, 2, axis=0).astype(np.float32)
     mfccs += 0.1 * rng.normal(size=mfccs.shape).astype(np.float32)
 
+    # EMG trajectory at the utterance's own frame count (linear time-warp of
+    # the target trajectory for silent utterances; identity for voiced).
+    warp_idx = np.round(np.linspace(0, num_target_frames - 1,
+                                    num_frames)).astype(np.int64)
+    warped_units = units[warp_idx]
+    warped_phonemes = phonemes[warp_idx]
+
     # EMG: per-channel mixture of (a) the upsampled unit energy envelope,
     # (b) a phoneme-dependent tone, (c) session-dependent gain, (d) noise.
     t = np.arange(num_emg) / C.EMG_SAMPLE_RATE
-    envelope = np.repeat(np.tanh(np.abs(units[:, :num_channels])), hop, axis=0)
-    tone_freq = 40.0 + 12.0 * (np.repeat(phonemes, hop) % 7)
+    envelope = np.repeat(np.tanh(np.abs(warped_units[:, :num_channels])), hop, axis=0)
+    tone_freq = 40.0 + 12.0 * (np.repeat(warped_phonemes, hop) % 7)
     tone = np.sin(2 * np.pi * tone_freq * t)[:, None]
     gain = 0.6 + 0.05 * session_idx / max(1, C.NUM_EMG_SESSIONS)
     noise = rng.normal(0.0, 0.15, size=(num_emg, num_channels))

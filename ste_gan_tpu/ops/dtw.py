@@ -67,10 +67,17 @@ def dtw_matrix(costs: jnp.ndarray) -> jnp.ndarray:
     return diags[ii + jj, ii]
 
 
-def dtw_backtrace(dtw: jnp.ndarray) -> jnp.ndarray:
+def dtw_backtrace(dtw: jnp.ndarray, end=None) -> jnp.ndarray:
     """[T1] alignment: for each row its matched column (reference
-    align_from_distances backtrace; first-minimal order up/left/diag)."""
+    align_from_distances backtrace; first-minimal order up/left/diag).
+
+    ``end=(i, j)`` starts the backtrace at a dynamic cell instead of the
+    bottom-right corner — used for padded/masked batched DTW, where only the
+    top-left ``[i+1, j+1]`` block of ``dtw`` is valid. Rows beyond ``i``
+    stay 0 in the result."""
     t1, t2 = dtw.shape
+    if end is None:
+        end = (t1 - 1, t2 - 1)
 
     def cond(state):
         i, j, _ = state
@@ -87,12 +94,14 @@ def dtw_backtrace(dtw: jnp.ndarray) -> jnp.ndarray:
         return i_next, j_next, results
 
     _, _, results = jax.lax.while_loop(
-        cond, body, (t1 - 1, t2 - 1, jnp.zeros((t1,), jnp.int32)))
+        cond, body, (jnp.asarray(end[0], jnp.int32),
+                     jnp.asarray(end[1], jnp.int32),
+                     jnp.zeros((t1,), jnp.int32)))
     return results
 
 
-def dtw_alignment(costs: jnp.ndarray) -> jnp.ndarray:
-    return dtw_backtrace(dtw_matrix(costs))
+def dtw_alignment(costs: jnp.ndarray, end=None) -> jnp.ndarray:
+    return dtw_backtrace(dtw_matrix(costs), end=end)
 
 
 # ---------------------------------------------------------------------------

@@ -125,6 +125,59 @@ def silent_sample_loss(su_pred, ph_pred, su_target, ph_target,
     return jnp.sum(picked) / t_target, alignment
 
 
+def silent_batch_loss(su_pred_flat, ph_pred_flat, batch,
+                      silent_pred_frames: int):
+    """Vectorised DTW-aligned loss over a folded batch's silent slots
+    (reference silent branch of speech_unit_loss_combined;
+    ste_gan/emg_encoder/train.py:120-144), fully inside jit.
+
+    Each slot slices its prediction frames from the flattened 50 Hz frame
+    axis (fixed-size dynamic slice), builds the padded cost matrix
+    ``0.5*cdist + 0.5*(-log p_phoneme)``, and runs the anti-diagonal
+    wavefront DTW with the backtrace started at the slot's valid corner —
+    exact unpadded semantics on padded static shapes. Alignment indices are
+    gradient-stopped (the reference aligns detached numpy); gradients flow
+    through the picked costs.
+
+    Returns (sum_of_silent_sample_losses, aligned-phoneme counters).
+    """
+    w_su, w_ph = EC.LOSS_WEIGHT_SPEECH_UNITS, EC.LOSS_WEIGHT_PHONEMES
+    t_pred = silent_pred_frames
+    # Pad the flat frame axis so the fixed-size slices never clamp.
+    su_flat = jnp.pad(su_pred_flat.astype(jnp.float32), ((0, t_pred), (0, 0)))
+    ph_flat = jnp.pad(ph_pred_flat.astype(jnp.float32), ((0, t_pred), (0, 0)))
+
+    def one(start, lp, su_t, ph_t, lt):
+        su_p = jax.lax.dynamic_slice_in_dim(su_flat, start, t_pred)
+        ph_p = jax.lax.dynamic_slice_in_dim(ph_flat, start, t_pred)
+        dists = jnp.sqrt(jnp.sum(jnp.square(
+            su_p[:, None, :] - su_t[None, :, :].astype(jnp.float32)), -1)
+            + 1e-12)
+        logp = jax.nn.log_softmax(ph_p, axis=-1)
+        costs = w_su * dists + w_ph * (-logp[:, ph_t])  # [t_pred, t_target]
+        alignment = jax.lax.stop_gradient(
+            dtw_alignment(costs.T, end=(lt - 1, lp - 1)))  # [t_target]
+        t_idx = jnp.arange(su_t.shape[0])
+        mask = t_idx < lt
+        picked = costs[alignment, t_idx]
+        loss = jnp.sum(jnp.where(mask, picked, 0.0)) / jnp.maximum(lt, 1)
+        pred_phone = jnp.argmax(logp, axis=-1)[alignment]
+        correct = jnp.sum(((pred_phone == ph_t) & mask).astype(jnp.int32))
+        return loss, correct, jnp.sum(mask.astype(jnp.int32))
+
+    losses, correct, totals = jax.vmap(one)(
+        batch["silent_pred_start"], batch["silent_pred_len"],
+        batch["silent_su_targets"], batch["silent_ph_targets"],
+        batch["silent_target_len"])
+    active = batch["silent_target_len"] > 0
+    loss_sum = jnp.sum(jnp.where(active, losses, 0.0))
+    counters = {
+        "num_correct_silent": jnp.sum(jnp.where(active, correct, 0)),
+        "num_frames_silent": jnp.sum(jnp.where(active, totals, 0)),
+    }
+    return loss_sum, counters
+
+
 def silent_losses_host(su_pred_flat: np.ndarray, ph_pred_flat: np.ndarray,
                        items, confusion: Optional[np.ndarray] = None):
     """Host-side DTW losses + aligned phoneme counts for the silent samples
@@ -182,7 +235,13 @@ def make_optimizer() -> optax.GradientTransformation:
         learning_rate=EC.LEARNING_RATE, weight_decay=EC.WEIGHT_DECAY)
 
 
-def make_encoder_train_step(model, max_samples: int) -> Callable:
+def make_encoder_train_step(model, max_samples: int,
+                            silent_pred_frames: int = 0) -> Callable:
+    """``silent_pred_frames > 0`` enables the mixed-batch silent path: the
+    batch must carry the silent DTW-target fields from
+    :func:`fold_encoder_batch`. The combined loss preserves the reference's
+    per-sample normalisation (sum of per-sample losses / batch size;
+    ste_gan/emg_encoder/train.py:146)."""
     optimizer = make_optimizer()
 
     def train_step(state: EncoderTrainState, batch, rng):
@@ -195,9 +254,15 @@ def make_encoder_train_step(model, max_samples: int) -> Callable:
                 rngs={"shift": rng_shift, "dropout": rng_drop},
                 mutable=["batch_stats"])
             n, f, d = su_pred.shape
+            su_flat = su_pred.reshape(n * f, d)
+            ph_flat = ph_pred.reshape(n * f, -1)
             loss, counters, _ = voiced_batch_loss(
-                su_pred.reshape(n * f, d), ph_pred.reshape(n * f, -1),
-                batch, max_samples)
+                su_flat, ph_flat, batch, max_samples)
+            if silent_pred_frames > 0:
+                silent_sum, _ = silent_batch_loss(
+                    su_flat, ph_flat, batch, silent_pred_frames)
+                loss = loss + silent_sum / jnp.maximum(
+                    batch["num_samples"].astype(jnp.float32), 1)
             return loss, (counters, mutated["batch_stats"])
 
         (loss, (counters, batch_stats)), grads = jax.value_and_grad(
@@ -325,6 +390,27 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
     n_win_eval = max(n_win, windows_needed(eval_lengths, seq_len))
     max_samples = max(64, 2 * n_win, EC.BATCH_SIZE)
 
+    # Mixed-batch (silent) training: static DTW dims from the train set's
+    # silent utterances (reference trains silent samples through DTW
+    # alignment; ste_gan/emg_encoder/train.py:120-146).
+    silent_idx = [i for i, m in enumerate(trainset.speaking_mode_ids)
+                  if m != C.SpeakingMode.NORMAL]
+    silent_pred_frames = silent_target_frames = max_silent = 0
+    if silent_idx:
+        pred_lens = [trainset.emg_lengths[i] // EC.EMG_SIGNAL_TO_SPEECH_UNITS
+                     for i in silent_idx]
+        target_lens = [len(trainset[i][C.DataType.SPEECH_UNITS])
+                       for i in silent_idx]
+        silent_pred_frames = max(pred_lens)
+        silent_target_frames = max(target_lens)
+        min_silent_emg = min(trainset.emg_lengths[i] for i in silent_idx)
+        max_silent = min(len(silent_idx),
+                         max_len // max(min_silent_emg, 1) + 1)
+        logging.info(
+            "Mixed training: %d silent utterances (<=%d per batch, "
+            "pred<=%d frames, target<=%d frames)", len(silent_idx),
+            max_silent, silent_pred_frames, silent_target_frames)
+
     rng = jax.random.PRNGKey(C.RANDOM_SEED)
     rng, init_rng = jax.random.split(rng)
     variables = jax.jit(lambda r: model.init(
@@ -336,8 +422,10 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
         batch_stats=variables["batch_stats"],
         opt_state=optimizer.init(variables["params"]))
 
-    train_step = jax.jit(make_encoder_train_step(model, max_samples),
-                         donate_argnums=0)
+    train_step = jax.jit(
+        make_encoder_train_step(model, max_samples,
+                                silent_pred_frames=silent_pred_frames),
+        donate_argnums=0)
     eval_step = jax.jit(make_encoder_eval_step(model, max_samples))
 
     sampler = SizeAwareSampler(trainset.emg_lengths, max_len,
@@ -354,8 +442,11 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
         epoch_start = time.time()
         for index_batch in sampler:
             items = [trainset[i] for i in index_batch]
-            batch = fold_encoder_batch(items, n_win=n_win,
-                                       max_samples=max_samples).as_dict()
+            batch = fold_encoder_batch(
+                items, n_win=n_win, max_samples=max_samples,
+                max_silent=max_silent,
+                silent_target_frames=silent_target_frames,
+                silent_pred_frames=silent_pred_frames).as_dict()
             lr = warmup_lr(batch_idx) * plateau.multiplier
             state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
             rng, step_rng = jax.random.split(rng)
@@ -425,6 +516,30 @@ def init_voiced_datasets(emg_dataset_root: Path):
     return trainset, devset, testset
 
 
+def init_mixed_datasets(emg_dataset_root: Path):
+    """Voiced + silent train/dev/test datasets for mixed-batch encoder
+    training. The reference *intends* this via
+    init_datasets_for_emg_encoder_train but that function is broken (passes
+    kwargs EMGDataset doesn't accept; ste_gan/emg_encoder/utils.py:149-180)
+    — this is the working equivalent. ``strict`` stays on; silent samples
+    skip the 16x EMG-length invariant (their targets come from the parallel
+    voiced recording)."""
+    trainset = EMGDataset(emg_dataset_root, partition="train",
+                          only_include_voiced=False, return_mfccs=False,
+                          return_emg_feats=False, filter_by_length=False)
+
+    def eval_set(partition):
+        return EMGDataset(emg_dataset_root, partition, filter_by_length=False,
+                          return_mfccs=False, return_emg_feats=False,
+                          only_include_voiced=False,
+                          session_id_to_idx=trainset.session_id_to_idx,
+                          speaking_mode_id_to_idx=trainset.speaking_mode_id_to_idx)
+
+    devset, testset = eval_set("valid"), eval_set("test")
+    EMGDataset.check_no_data_overlap([trainset, devset, testset])
+    return trainset, devset, testset
+
+
 def create_output_dir_name(data_root: Path, emg_enc_name: str,
                            seq_len: int = EC.SEQ_LEN, debug: bool = False) -> str:
     debug_str = "DEBUG_" if debug else ""
@@ -434,8 +549,9 @@ def create_output_dir_name(data_root: Path, emg_enc_name: str,
 def main(args: argparse.Namespace) -> None:
     cfg = load_config(args=args, override_with_eval_args=False)
     emg_dataset_root = Path(cfg.data.dataset_root)
+    mode_name = "_mixed" if args.include_silent else "_voiced_only"
     output_directory = Path(args.exp_dir) / create_output_dir_name(
-        emg_dataset_root, cfg.emg_encoder.type + "_voiced_only",
+        emg_dataset_root, cfg.emg_encoder.type + mode_name,
         debug=args.debug)
     output_directory.mkdir(exist_ok=True, parents=True)
     print(f"Output directory: {output_directory}")
@@ -452,7 +568,8 @@ def main(args: argparse.Namespace) -> None:
     if not config_file.exists():
         cfg.save(config_file)
 
-    trainset, devset, _ = init_voiced_datasets(emg_dataset_root)
+    init_fn = init_mixed_datasets if args.include_silent else init_voiced_datasets
+    trainset, devset, _ = init_fn(emg_dataset_root)
     logging.info("train/dev: %d / %d utterances", len(trainset), len(devset))
 
     train_encoder_model(cfg, trainset, devset, output_directory,
@@ -469,6 +586,9 @@ def parse_args() -> argparse.Namespace:
     parser.add_argument("--emg_enc_cfg", type=str,
                         default="configs/emg_encoder/conv_transformer.yaml")
     parser.add_argument("--debug", action="store_true", default=False)
+    parser.add_argument("--include_silent", action="store_true", default=False,
+                        help="Train on mixed voiced+silent batches (silent "
+                             "samples use the DTW-aligned loss).")
     parser.add_argument("--num_epochs", type=int, default=EC.NUM_EPOCHS)
     parser.add_argument("--max_batch_len", type=int, default=EC.TRAIN_BATCH_MAX_LEN,
                         help="Total EMG samples per packed batch.")

@@ -64,8 +64,18 @@ class EncoderBatch:
     silent: np.ndarray           # [max_samples] bool
     num_samples: np.ndarray      # [] int32
 
+    # Silent-sample DTW targets (present only when the fold is built with
+    # ``max_silent > 0``; silent targets come from the PARALLEL voiced
+    # recording and have a different length from the prediction frames).
+    silent_su_targets: np.ndarray = None   # [max_silent, t_target_max, 256]
+    silent_ph_targets: np.ndarray = None   # [max_silent, t_target_max] int32
+    silent_target_len: np.ndarray = None   # [max_silent] int32 (0 = empty slot)
+    silent_pred_start: np.ndarray = None   # [max_silent] int32 (flat frame axis)
+    silent_pred_len: np.ndarray = None     # [max_silent] int32
+
     def as_dict(self) -> Dict[str, np.ndarray]:
-        return dataclasses.asdict(self)
+        return {k: v for k, v in dataclasses.asdict(self).items()
+                if v is not None}
 
 
 def fold_encoder_batch(
@@ -74,9 +84,18 @@ def fold_encoder_batch(
     n_win: int = None,
     max_samples: int = None,
     emg_ratio: int = EC.EMG_SIGNAL_TO_SPEECH_UNITS,
+    max_silent: int = 0,
+    silent_target_frames: int = 0,
+    silent_pred_frames: int = 0,
 ) -> EncoderBatch:
     """Concatenate utterances, fold into fixed windows, build frame->sample
-    segment ids. ``n_win`` defaults to the packing budget's worst case."""
+    segment ids. ``n_win`` defaults to the packing budget's worst case.
+
+    ``max_silent > 0`` additionally emits fixed-shape DTW targets for the
+    silent samples (mixed-batch training; reference
+    ste_gan/emg_encoder/train.py:120-144): each silent sample's padded
+    speech-unit/phoneme targets plus its prediction-frame slice coordinates
+    on the flattened 50 Hz frame axis."""
     window = seq_len * 8
     frames_per_win = window // emg_ratio
     if n_win is None:
@@ -114,7 +133,22 @@ def fold_encoder_batch(
     su = np.zeros((frame_capacity, su_list[0].shape[-1]), np.float32)
     ph = np.zeros((frame_capacity,), np.int32)
     sample_id = np.full((frame_capacity,), -1, np.int32)
+
+    silent_fields = {}
+    if max_silent > 0:
+        dim = su_list[0].shape[-1]
+        silent_fields = {
+            "silent_su_targets": np.zeros(
+                (max_silent, silent_target_frames, dim), np.float32),
+            "silent_ph_targets": np.zeros(
+                (max_silent, silent_target_frames), np.int32),
+            "silent_target_len": np.zeros((max_silent,), np.int32),
+            "silent_pred_start": np.zeros((max_silent,), np.int32),
+            "silent_pred_len": np.zeros((max_silent,), np.int32),
+        }
+
     offset = 0
+    slot = 0
     for k, (emg_utt, su_utt, ph_utt, silent) in enumerate(
             zip(emg_list, su_list, ph_list, silent_flags)):
         pred_frames = len(emg_utt) // emg_ratio
@@ -125,6 +159,25 @@ def fold_encoder_batch(
                 f"{pred_frames} prediction frames")
             su[offset:offset + pred_frames] = su_utt
             ph[offset:offset + pred_frames] = ph_utt
+        elif max_silent > 0:
+            if slot >= max_silent:
+                raise ValueError(
+                    f"batch has more than max_silent={max_silent} silent samples")
+            t_target = len(su_utt)
+            if t_target > silent_target_frames:
+                raise ValueError(
+                    f"silent sample {k}: {t_target} target frames > "
+                    f"silent_target_frames={silent_target_frames}")
+            if pred_frames > silent_pred_frames:
+                raise ValueError(
+                    f"silent sample {k}: {pred_frames} prediction frames > "
+                    f"silent_pred_frames={silent_pred_frames}")
+            silent_fields["silent_su_targets"][slot, :t_target] = su_utt
+            silent_fields["silent_ph_targets"][slot, :t_target] = ph_utt
+            silent_fields["silent_target_len"][slot] = t_target
+            silent_fields["silent_pred_start"][slot] = offset
+            silent_fields["silent_pred_len"][slot] = pred_frames
+            slot += 1
         offset += pred_frames
 
     silent = np.zeros((max_samples,), bool)
@@ -137,6 +190,7 @@ def fold_encoder_batch(
         frame_sample_id=sample_id,
         silent=silent,
         num_samples=np.int32(len(items)),
+        **silent_fields,
     )
 
 
