@@ -22,7 +22,8 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from ste_gan_tpu.etl.audio_dsp import normalize_volume
+from ste_gan_tpu.etl.audio_dsp import (
+    find_audio_file, normalize_volume, read_audio_file, write_audio_file)
 
 
 def spectral_gate_denoise(audio: np.ndarray, noise_clip: np.ndarray,
@@ -82,27 +83,29 @@ def maybe_enhance(audio: np.ndarray, sample_rate: int = 16_000) -> np.ndarray:
 
 def clean_directory(session_dir: Path, sample_rate: int = 16_000,
                     overwrite: bool = False) -> int:
-    import soundfile as sf
-
-    noise_path = session_dir / "0_audio.flac"
-    if not noise_path.exists():
-        print(f"skipping {session_dir}: no 0_audio.flac noise profile")
+    try:
+        noise_path = find_audio_file(session_dir / "0_audio.flac")
+    except FileNotFoundError:
+        print(f"skipping {session_dir}: no 0_audio noise profile")
         return 0
-    noise_clip, _ = sf.read(noise_path)
+    noise_clip, _ = read_audio_file(noise_path)
 
     count = 0
-    for audio_path in sorted(session_dir.glob("*_audio.flac")):
+    audio_paths = sorted(list(session_dir.glob("*_audio.flac"))
+                         + list(session_dir.glob("*_audio.wav")))
+    for audio_path in audio_paths:
         if audio_path.stem.endswith("_clean"):
             continue
-        out_path = audio_path.with_name(audio_path.stem + "_clean.flac")
+        out_path = audio_path.with_name(
+            audio_path.stem + "_clean" + audio_path.suffix)
         if out_path.exists() and not overwrite:
             continue
-        audio, sr = sf.read(audio_path)
+        audio, sr = read_audio_file(audio_path)
         assert sr == sample_rate
         cleaned = denoise(audio, noise_clip, sample_rate)
         cleaned = maybe_enhance(cleaned, sample_rate)
         cleaned = normalize_volume(cleaned)
-        sf.write(out_path, cleaned, samplerate=sample_rate)
+        write_audio_file(out_path, cleaned, sample_rate)
         count += 1
     return count
 

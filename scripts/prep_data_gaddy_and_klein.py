@@ -38,7 +38,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from ste_gan_tpu.constants import PHONEME_INVENTORY, SpeakingMode
 from ste_gan_tpu.etl.audio_dsp import (
     MFCCsCalculator, align_speech_units_and_mfccs,
-    cut_audio_to_soft_speech_match_unit_frame_rate, load_audio, read_phonemes)
+    cut_audio_to_soft_speech_match_unit_frame_rate, find_audio_file,
+    load_audio, read_phonemes, write_audio_file)
 from ste_gan_tpu.etl.emg_dsp import get_emg_features, pre_process_emg_signal
 
 
@@ -143,10 +144,12 @@ class GaddyKleinPrep:
         emg_features = get_emg_features(emg, frame_length_samples=26,
                                         hop_length_samples=8, pad=True)
 
-        audio_path = base_dir / f"{index}_audio_clean.flac"
-        if not audio_path.exists():
+        try:
+            audio_path = find_audio_file(base_dir / f"{index}_audio_clean.flac")
+        except FileNotFoundError as exc:
             raise FileNotFoundError(
-                f"Audio missing (run clean_audio.py first): {audio_path}")
+                f"Cleaned audio missing (run clean_audio.py first): "
+                f"{base_dir / f'{index}_audio_clean.flac'}") from exc
         audio = load_audio(audio_path, normalize=True)
         audio = cut_audio_to_soft_speech_match_unit_frame_rate(audio)
         mfccs = self.mfcc_calc(audio)
@@ -276,14 +279,10 @@ def save_samples(prep: GaddyKleinPrep, root: Path,
         sub = split_dir / "transcriptions"
         sub.mkdir(parents=True, exist_ok=True)
         (sub / f"{utt_id}.txt").write_text(sample["text"])
-        try:
-            import soundfile as sf
-
-            sub = split_dir / "audio"
-            sub.mkdir(parents=True, exist_ok=True)
-            sf.write(sub / f"{utt_id}.wav", np.asarray(audio), samplerate=16_000)
-        except ImportError:
-            pass  # audio export optional (soundfile absent in this image)
+        sub = split_dir / "audio"
+        sub.mkdir(parents=True, exist_ok=True)
+        write_audio_file(sub / f"{utt_id}.wav", np.asarray(audio),
+                         sample_rate=16_000)
 
 
 def main() -> None:

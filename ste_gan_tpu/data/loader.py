@@ -24,11 +24,28 @@ from ste_gan_tpu.data.dataset import EMGDataset
 
 
 class DataLoader:
-    """Iterable over collated batches of an :class:`EMGDataset`."""
+    """Iterable over collated batches of an :class:`EMGDataset`.
+
+    Multi-host pods: ``process_count > 1`` makes every host draw the SAME
+    seeded global permutation and batch boundaries, but load/collate only
+    its own ``batch_size / process_count`` slice of each global batch — the
+    per-host shard of the data-parallel global batch (SURVEY.md §7 phase 2).
+    ``process_count == 1`` (default) is byte-identical to the unsharded
+    behaviour."""
 
     def __init__(self, dataset: EMGDataset, batch_size: int, partition: str,
                  shuffle: bool, emg_train_length: int, hopsize: int = C.HOPSIZE,
-                 seed: int = 0, drop_last: bool = False):
+                 seed: int = 0, drop_last: bool = False,
+                 process_index: int = 0, process_count: int = 1):
+        if process_count > 1:
+            if batch_size % process_count:
+                raise ValueError(
+                    f"global batch_size {batch_size} not divisible by "
+                    f"process_count {process_count}")
+            if not drop_last:
+                raise ValueError("per-host sharding requires drop_last "
+                                 "(every host must see a full slice)")
+        assert 0 <= process_index < process_count
         self.dataset = dataset
         self.batch_size = batch_size
         self.partition = partition
@@ -36,7 +53,13 @@ class DataLoader:
         self.emg_train_length = emg_train_length
         self.hopsize = hopsize
         self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
         self._rng = np.random.default_rng(seed)
+
+    @property
+    def local_batch_size(self) -> int:
+        return self.batch_size // self.process_count
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -44,7 +67,8 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _index_batches(self) -> Iterator[np.ndarray]:
+        """Global batch index chunks — identical on every host (same seed)."""
         indices = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(indices)
@@ -52,7 +76,17 @@ class DataLoader:
             chunk = indices[i:i + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 return
-            items = [self.dataset[int(j)] for j in chunk]
+            yield chunk
+
+    def _host_slice(self, chunk: np.ndarray) -> np.ndarray:
+        """This host's contiguous slice of a global batch."""
+        local = self.local_batch_size if self.process_count > 1 else len(chunk)
+        start = self.process_index * local
+        return chunk[start:start + local]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for chunk in self._index_batches():
+            items = [self.dataset[int(j)] for j in self._host_slice(chunk)]
             yield ste_gan_collate(
                 items, partition=self.partition,
                 emg_train_length=self.emg_train_length,
@@ -101,13 +135,25 @@ def loaders(
     batch_size: int = C.BATCH_SIZE,
     seed: int = 0,
     drop_last_train: bool = True,
+    process_index: int = None,
+    process_count: int = None,
 ):
     """Build (train, valid, test) loaders with the reference's dataset
     filters and train-derived vocabularies (ste_gan/data/loader.py:19-90).
 
     ``drop_last_train=True`` keeps every compiled step at the full static
     batch shape (the reference tolerates a ragged final batch; we prefer a
-    single XLA program)."""
+    single XLA program).
+
+    ``process_index``/``process_count`` default to this JAX process's
+    coordinates: on a multi-host pod the TRAIN loader yields this host's
+    shard of each global batch (valid/test stay replicated — evaluation and
+    plotting run identically on every host)."""
+    if process_index is None or process_count is None:
+        import jax
+
+        process_index = jax.process_index()
+        process_count = jax.process_count()
     train_ds = EMGDataset(data_root, partition="train", strict=strict,
                           filter_by_length=True, only_include_voiced=True,
                           train_emg_length=train_emg_length)
@@ -126,7 +172,9 @@ def loaders(
     train_loader = DataLoader(train_ds, batch_size, "train", shuffle=True,
                               emg_train_length=train_emg_length,
                               hopsize=hopsize, seed=seed,
-                              drop_last=drop_last_train)
+                              drop_last=drop_last_train,
+                              process_index=process_index,
+                              process_count=process_count)
     valid_loader = DataLoader(valid_ds, batch_size, "valid", shuffle=False,
                               emg_train_length=train_emg_length, hopsize=hopsize)
     test_loader = DataLoader(test_ds, 1, "test", shuffle=False,

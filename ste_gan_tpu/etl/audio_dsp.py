@@ -55,19 +55,58 @@ def normalize_volume(audio: np.ndarray, target_rms: float = 0.2) -> np.ndarray:
     return audio
 
 
-def load_audio(audio_file_path: Path, sampling_rate: int = 16_000,
-               normalize: bool = True) -> np.ndarray:
-    """Load mono audio; requires soundfile for flac (gated import)."""
+def read_audio_file(path: Path):
+    """(audio float64, sample_rate). soundfile when available (flac + wav);
+    scipy wav fallback otherwise."""
     try:
         import soundfile as sf
 
-        audio, sr = sf.read(str(audio_file_path))
+        audio, sr = sf.read(str(path))
+        return np.asarray(audio, np.float64), int(sr)
     except ImportError:
         import scipy.io.wavfile as wavfile
 
-        sr, audio = wavfile.read(str(audio_file_path))
+        sr, audio = wavfile.read(str(path))
+        audio = np.asarray(audio)
         if audio.dtype.kind == "i":
             audio = audio.astype(np.float64) / np.iinfo(audio.dtype).max
+        return audio.astype(np.float64), int(sr)
+
+
+def write_audio_file(path: Path, audio: np.ndarray, sample_rate: int) -> Path:
+    """Write mono audio. Without soundfile, flac targets are written as wav
+    next to the requested name (the ETL readers try both extensions)."""
+    path = Path(path)
+    try:
+        import soundfile as sf
+
+        sf.write(str(path), np.asarray(audio), samplerate=sample_rate)
+        return path
+    except ImportError:
+        import scipy.io.wavfile as wavfile
+
+        path = path.with_suffix(".wav")
+        wavfile.write(str(path), sample_rate,
+                      np.asarray(audio, np.float32))
+        return path
+
+
+def find_audio_file(path: Path) -> Path:
+    """Resolve an audio artifact that may be .flac (soundfile present at
+    write time) or .wav (fallback)."""
+    path = Path(path)
+    if path.exists():
+        return path
+    alt = path.with_suffix(".wav" if path.suffix == ".flac" else ".flac")
+    if alt.exists():
+        return alt
+    raise FileNotFoundError(f"no audio file at {path} (or {alt.name})")
+
+
+def load_audio(audio_file_path: Path, sampling_rate: int = 16_000,
+               normalize: bool = True) -> np.ndarray:
+    """Load mono audio (flac via soundfile; wav fallback via scipy)."""
+    audio, sr = read_audio_file(find_audio_file(audio_file_path))
     if sr != sampling_rate:
         import scipy.signal
 

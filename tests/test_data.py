@@ -111,3 +111,46 @@ class TestLoaders:
 
         with pytest.raises(RuntimeError):
             list(Prefetcher(boom, depth=2))
+
+
+class TestPerHostSharding:
+    """Multi-host data sharding (mocked process grid): every host draws the
+    same global batches; host slices partition each batch; single-host
+    behaviour is unchanged."""
+
+    def test_host_slices_partition_global_batches(self, corpus):
+        from ste_gan_tpu.data.loader import DataLoader
+
+        ds = EMGDataset(corpus, partition="train", filter_by_length=False)
+        kwargs = dict(batch_size=4, partition="train", shuffle=True,
+                      emg_train_length=512, seed=3, drop_last=True)
+        hosts = [DataLoader(ds, **kwargs, process_index=i, process_count=2)
+                 for i in range(2)]
+        unsharded = DataLoader(ds, **kwargs)
+
+        global_batches = list(unsharded._index_batches())
+        for host in hosts:
+            assert [list(c) for c in host._index_batches()] == \
+                [list(c) for c in global_batches]
+        for chunk in global_batches:
+            slices = [list(h._host_slice(chunk)) for h in hosts]
+            assert slices[0] + slices[1] == list(chunk)
+
+        # Collated host batches carry the local batch size.
+        batch0 = next(iter(hosts[0]))
+        assert batch0[C.DataType.REAL_EMG].shape[0] == 2
+        full = next(iter(unsharded))
+        assert full[C.DataType.REAL_EMG].shape[0] == 4
+
+    def test_invalid_grids_rejected(self, corpus):
+        from ste_gan_tpu.data.loader import DataLoader
+
+        ds = EMGDataset(corpus, partition="train", filter_by_length=False)
+        with pytest.raises(ValueError, match="divisible"):
+            DataLoader(ds, batch_size=5, partition="train", shuffle=True,
+                       emg_train_length=512, drop_last=True,
+                       process_index=0, process_count=2)
+        with pytest.raises(ValueError, match="drop_last"):
+            DataLoader(ds, batch_size=4, partition="train", shuffle=True,
+                       emg_train_length=512, drop_last=False,
+                       process_index=0, process_count=2)
