@@ -93,6 +93,10 @@ class TrainConfig:
     interval_valid: int = C.INTERVAL_VALID
     interval_waveform: int = C.INTERVAL_WAVEFORM
     interval_plot: int = C.INTERVAL_PLOT
+    # '-last' checkpoint cadence in epochs (reference hardcodes 5;
+    # ste_gan/train.py:478-494 — configurable here because epoch length
+    # varies wildly with corpus size).
+    save_last_epoch_interval: int = 5
     num_test_samples: int = C.NUM_TEST_SAMPLES
 
     # --- TPU-native additions (no reference analogue) ---

@@ -114,6 +114,13 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     train_step = jax.jit(make_train_step(cfg, models), donate_argnums=0)
     eval_step = jax.jit(make_eval_step(cfg, models))
 
+    # One fused device-side update for the epoch phoneme counters: eager
+    # per-counter adds each step would pay per-op dispatch latency (severe
+    # through a remote-TPU tunnel; measurable anywhere).
+    @jax.jit
+    def accumulate_counts(acc, metrics):
+        return {k: acc[k] + metrics[f"count/{k}"] for k in acc}
+
     synth = EMGSynthesizer(models.generator, state.gen_params, bucket=64)
     valid_dataset = valid_loader.dataset
 
@@ -185,8 +192,9 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
         set_learning_rate(state.opt_d, lr)
         writer.scalar("train/lr", lr, steps)
 
-        acc = {k: 0 for k in ("num_phones", "num_correct", "num_silence",
-                              "num_correct_no_silence")}
+        acc = {k: jnp.zeros((), jnp.int32)
+               for k in ("num_phones", "num_correct", "num_silence",
+                         "num_correct_no_silence")}
 
         def _sharded_batches():
             # shard_batch (async device_put) runs in the prefetch thread so
@@ -215,8 +223,7 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
                 writer.close()
                 return final_val
 
-            for key in acc:
-                acc[key] += metrics[f"count/{key}"]  # device-side, async
+            acc = accumulate_counts(acc, metrics)  # device-side, async
 
             if steps % t_cfg.interval_log == 0:
                 host = {k: float(v) for k, v in metrics.items()
@@ -271,7 +278,7 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
 
         logging.info("Finished epoch %d in %.1fs", epoch,
                      time.time() - epoch_start)
-        if epoch % 5 == 0:
+        if epoch % t_cfg.save_last_epoch_interval == 0:
             ckpt.save_last(state, epoch)
 
 

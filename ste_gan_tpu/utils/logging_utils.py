@@ -33,6 +33,7 @@ class MetricLogger:
         value = float(value)
         self._jsonl.write(json.dumps(
             {"tag": tag, "value": value, "step": int(step), "ts": time.time()}) + "\n")
+        self._jsonl.flush()  # survive preemption; tail-able during the run
         if self._tb is not None:
             self._tb.add_scalar(tag, value, step)
 
