@@ -12,6 +12,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
@@ -36,6 +37,11 @@ def main() -> None:
     # (identical loss math; only the spectral-norm power-iteration cadence
     # differs — see TrainConfig.fused_disc_passes).
     cfg.train.fused_disc_passes = True
+    # Perf-knob env overrides (A/B sweeps; defaults are the shipped config).
+    if os.environ.get("STE_BENCH_PALLAS_CONV"):
+        cfg.train.pallas_grouped_conv = True
+    if os.environ.get("STE_BENCH_FUSED_OPT"):
+        cfg.train.fused_optimizer = True
     models = build_models(cfg)
     rng = jax.random.PRNGKey(0)
     encoder_variables = jax.jit(lambda r: models.encoder.init(

@@ -116,6 +116,11 @@ class TrainConfig:
     #: power iteration once per pair instead of twice — the only deviation
     #: from reference semantics, hence off by default.
     fused_disc_passes: bool = False
+    #: Route the scale discriminators' grouped convs through the Pallas
+    #: slab block-diagonal kernel (ste_gan_tpu/ops/pallas_conv.py) instead
+    #: of XLA's feature_group_count lowering. TPU-only perf knob; identical
+    #: math (same conv semantics, f32 accumulation).
+    pallas_grouped_conv: bool = False
     #: Host prefetch depth for the input pipeline.
     prefetch: int = 2
 

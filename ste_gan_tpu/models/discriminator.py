@@ -109,12 +109,14 @@ class ScaleDiscriminator(_FmapDiscriminator):
                             (1024, 41, 4, 16, 20), (1024, 41, 1, 16, 20),
                             (1024, 5, 1, 1, 2))
     dtype: Any = jnp.float32
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = True) -> List[jnp.ndarray]:
         layers = [
             _normed_conv(self.norm, feats, (k,), strides=s, groups=g, padding=pad,
-                         dtype=self.dtype, name=f"layer_{i}")
+                         dtype=self.dtype, conv_impl=self.conv_impl,
+                         name=f"layer_{i}")
             for i, (feats, k, s, g, pad) in enumerate(self.layer_spec)
         ]
         output = _normed_conv("weight_norm", 1, (3,), padding=1,
@@ -149,6 +151,9 @@ class DiscriminatorEnsemble(nn.Module):
     #: Optional layer-spec overrides (tiny configs for tests / ablations).
     period_spec_override: Any = None
     scale_spec_override: Any = None
+    #: "pallas" routes the scale discriminators' grouped convs through the
+    #: slab block-diagonal MXU kernel (ste_gan_tpu/ops/pallas_conv.py).
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = True) -> List[List[jnp.ndarray]]:
@@ -168,7 +173,8 @@ class DiscriminatorEnsemble(nn.Module):
         for i in range(self.num_multi_scale):
             disc = ScaleDiscriminator(
                 norm="spectral_norm" if i == 0 else "weight_norm",
-                layer_spec=scale_spec, dtype=self.dtype, name=f"scale_{i}")
+                layer_spec=scale_spec, dtype=self.dtype,
+                conv_impl=self.conv_impl, name=f"scale_{i}")
             results.append(disc(x, train))
             x = avg_pool1d(x, window=4, stride=2, padding=1)
         return results
@@ -181,5 +187,7 @@ def init_emg_discriminators(cfg, dtype=jnp.float32) -> DiscriminatorEnsemble:
         num_emg_channels=cfg.data.num_emg_channels,
         small=bool(cfg.model.discriminator_small),
         dtype=dtype,
+        conv_impl=("pallas" if getattr(cfg.train, "pallas_grouped_conv", False)
+                   else "xla"),
         **(getattr(cfg.model, "discriminator_params", None) or {}),
     )

@@ -62,8 +62,19 @@ def _torch_conv_init(fan_in: float):
     return init
 
 
-def _conv(x, kernel, strides, padding, dilation, groups, dtype):
+def _conv(x, kernel, strides, padding, dilation, groups, dtype,
+          impl: str = "xla"):
     rank = kernel.ndim - 2
+    if (impl == "pallas" and rank == 1 and groups > 1
+            and all(d == 1 for d in dilation)):
+        # Grouped 1-D convs route through the Pallas slab kernel: XLA's
+        # feature_group_count lowering relayouts activations around every
+        # grouped conv (~4 ms/step in the scale discriminators; PARITY.md).
+        from ste_gan_tpu.ops.pallas_conv import grouped_conv1d
+
+        return grouped_conv1d(
+            x.astype(dtype), kernel.astype(dtype),
+            stride=strides[0], padding=tuple(padding[0]), groups=groups)
     dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, _DIM_NUMBERS[rank])
     # Compute in the module dtype (bf16 under mixed precision): the TPU MXU
     # accumulates bf16 contractions in f32 internally, and keeping operand /
@@ -88,6 +99,9 @@ class _ConvBase(nn.Module):
     groups: int = 1
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    #: "xla" | "pallas" — pallas routes grouped 1-D convs through the
+    #: slab block-diagonal MXU kernel (ste_gan_tpu/ops/pallas_conv.py).
+    conv_impl: str = "xla"
 
     def _geometry(self, x):
         rank = len(self.kernel_size)
@@ -121,7 +135,8 @@ class Conv(_ConvBase):
     def __call__(self, x):
         strides, dilation, padding, kshape, fan_in = self._geometry(x)
         kernel = self.param("kernel", _torch_conv_init(fan_in), kshape)
-        y = _conv(x, kernel, strides, padding, dilation, self.groups, self.dtype)
+        y = _conv(x, kernel, strides, padding, dilation, self.groups, self.dtype,
+                  impl=self.conv_impl)
         return self._finish(y, fan_in)
 
 
@@ -144,7 +159,8 @@ class WNConv(_ConvBase):
         g = self.param("g", lambda rng: _norm_per_out_channel(v))
         norm = _norm_per_out_channel(v.astype(jnp.float32))
         kernel = v * (g / norm).astype(v.dtype)
-        y = _conv(x, kernel, strides, padding, dilation, self.groups, self.dtype)
+        y = _conv(x, kernel, strides, padding, dilation, self.groups, self.dtype,
+                  impl=self.conv_impl)
         return self._finish(y, fan_in)
 
 
@@ -191,7 +207,8 @@ class SNConv(_ConvBase):
                 v_var.value = v
         sigma = u @ (mat @ v)
         kernel = kernel / sigma.astype(kernel.dtype)
-        y = _conv(x, kernel, strides, padding, dilation, self.groups, self.dtype)
+        y = _conv(x, kernel, strides, padding, dilation, self.groups, self.dtype,
+                  impl=self.conv_impl)
         return self._finish(y, fan_in)
 
 
