@@ -61,7 +61,7 @@ def denoise(audio: np.ndarray, noise_clip: np.ndarray,
 
         return noisereduce.reduce_noise(y=audio, y_noise=noise_clip,
                                         sr=sample_rate)
-    except ImportError:
+    except (ImportError, AttributeError):
         return spectral_gate_denoise(audio, noise_clip, sample_rate)
 
 
@@ -77,7 +77,7 @@ def maybe_enhance(audio: np.ndarray, sample_rate: int = 16_000) -> np.ndarray:
         noisy = torch.from_numpy(audio[None]).float()
         enhanced = enhancer.enhance_batch(noisy, lengths=torch.tensor([1.0]))
         return enhanced.squeeze(0).numpy()
-    except ImportError:
+    except (ImportError, AttributeError):
         return audio
 
 

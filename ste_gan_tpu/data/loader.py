@@ -168,6 +168,14 @@ def loaders(
                          only_include_voiced=True, filter_by_length=False,
                          train_emg_length=train_emg_length, strict=strict)
     EMGDataset.check_no_data_overlap([train_ds, valid_ds, test_ds])
+    if len(train_ds) < batch_size:
+        # Fail fast: with an empty/undersized train partition the trainer
+        # would spin through zero-batch epochs forever (drop_last).
+        raise ValueError(
+            f"train partition at {data_root} has {len(train_ds)} usable "
+            f"utterances (< batch_size {batch_size}). If this is the "
+            "synthetic development corpus, (re)generate it with: "
+            "python -m ste_gan_tpu.data.synthetic --root data/synthetic")
 
     train_loader = DataLoader(train_ds, batch_size, "train", shuffle=True,
                               emg_train_length=train_emg_length,

@@ -153,3 +153,31 @@ def generate_synthetic_corpus(
             (dirs[C.DataDir.TRANSCRIPTIONS] / f"{utt_id}.txt").write_text(
                 utt["transcription"])
     return root
+
+
+def main() -> None:
+    """CLI: (re)generate the development corpus (data/ is gitignored —
+    regenerate after a fresh checkout; deterministic for a given seed)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--root", default="data/synthetic")
+    ap.add_argument("--num_train", type=int, default=96)
+    ap.add_argument("--num_valid", type=int, default=24)
+    ap.add_argument("--num_test", type=int, default=16)
+    ap.add_argument("--num_sessions", type=int, default=4)
+    ap.add_argument("--min_frames", type=int, default=130)
+    ap.add_argument("--max_frames", type=int, default=260)
+    ap.add_argument("--silent_fraction", type=float, default=0.0)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    root = generate_synthetic_corpus(
+        Path(args.root), num_train=args.num_train, num_valid=args.num_valid,
+        num_test=args.num_test, num_sessions=args.num_sessions,
+        min_frames=args.min_frames, max_frames=args.max_frames,
+        seed=args.seed, silent_fraction=args.silent_fraction)
+    print(f"synthetic corpus written to {root}")
+
+
+if __name__ == "__main__":
+    main()

@@ -61,9 +61,10 @@ def read_audio_file(path: Path):
     try:
         import soundfile as sf
 
+        # hasattr guards against stub modules installed by oracle loaders.
         audio, sr = sf.read(str(path))
         return np.asarray(audio, np.float64), int(sr)
-    except ImportError:
+    except (ImportError, AttributeError):
         import scipy.io.wavfile as wavfile
 
         sr, audio = wavfile.read(str(path))
@@ -82,7 +83,7 @@ def write_audio_file(path: Path, audio: np.ndarray, sample_rate: int) -> Path:
 
         sf.write(str(path), np.asarray(audio), samplerate=sample_rate)
         return path
-    except ImportError:
+    except (ImportError, AttributeError):
         import scipy.io.wavfile as wavfile
 
         path = path.with_suffix(".wav")

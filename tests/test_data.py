@@ -92,6 +92,14 @@ class TestCollate:
 
 
 class TestLoaders:
+    def test_undersized_train_partition_fails_fast(self, corpus):
+        # An empty/undersized train split must raise, not spin through
+        # zero-batch epochs (drop_last would yield nothing forever).
+        import pytest
+
+        with pytest.raises(ValueError, match="usable"):
+            loaders(corpus, batch_size=10_000)
+
     def test_three_loaders(self, corpus):
         train, valid, test = loaders(corpus, batch_size=4)
         tb = next(iter(train))
