@@ -107,9 +107,18 @@ class TrainConfig:
     lr_decay_gamma: float = C.LR_DECAY_GAMMA
     #: Size of the data-parallel mesh axis; <=0 means "all local devices".
     data_parallel: int = -1
-    #: Use the fused Pallas AdamW kernel (one HBM pass per buffer; ~1.8x the
-    #: optax chain on TPU). Falls back to interpret mode off-TPU, so keep it
-    #: disabled for CPU test runs.
+    #: Flat single-buffer AdamW (ops/flat_adamw.py): identical math to
+    #: optax.adamw but ONE fused elementwise chain over all parameter
+    #: leaves — 4.6 vs 11.4 ms per dual-net update in isolation on v5e
+    #: (~230 leaves; benchmarks/opt_probe.py). Inside the fused step it
+    #: measures NEUTRAL (57.9 vs 57.1 ms): XLA already fuses the per-leaf
+    #: optimizer chains into the backward program, so the launch overhead
+    #: the flat layout removes was never on the critical path. Default off;
+    #: resume checkpoints under the same flavour they were saved.
+    flat_optimizer: bool = False
+    #: Use the per-leaf fused Pallas AdamW kernel instead (measured no
+    #: faster than optax in-step — per-leaf launches dominate; kept for
+    #: A/B). Takes precedence over flat_optimizer when set.
     fused_optimizer: bool = False
     #: Stack (fake, real) into one batch-2B discriminator pass (half the
     #: ensemble launches; identical losses). Advances the spectral-norm

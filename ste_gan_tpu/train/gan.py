@@ -59,21 +59,72 @@ class GANTrainState(struct.PyTreeNode):
     opt_d: Any
 
 
-def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+class _OptaxAdapter:
+    """(init, apply_gradients) facade over an optax GradientTransformation."""
+
+    def __init__(self, gt: optax.GradientTransformation):
+        self._gt = gt
+
+    def init(self, params):
+        return self._gt.init(params)
+
+    def apply_gradients(self, params, grads, opt_state):
+        updates, opt_state = self._gt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+
+class _FlatAdamW:
+    """Flat single-buffer AdamW (ste_gan_tpu/ops/flat_adamw.py): identical
+    math to optax.adamw, but ONE fused elementwise chain over all ~230
+    parameter leaves instead of thousands of tiny per-leaf kernels —
+    measured 4.6 vs 11.4 ms per dual-net update in isolation on v5e, but
+    NEUTRAL inside the fused step (benchmarks/opt_probe.py; PARITY.md).
+    NOTE: its optimizer-state layout differs from optax's, so checkpoints
+    written with one optimizer flavour resume only under the same
+    flavour."""
+
+    def __init__(self, lr, b1, b2, eps=1e-8, weight_decay=1e-2):
+        self._hp = dict(lr=lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+
+    def init(self, params):
+        from ste_gan_tpu.ops.flat_adamw import flat_adamw_init
+
+        return flat_adamw_init(params, learning_rate=self._hp["lr"])
+
+    def apply_gradients(self, params, grads, opt_state):
+        from ste_gan_tpu.ops.flat_adamw import flat_adamw_apply
+
+        return flat_adamw_apply(
+            params, grads, opt_state, b1=self._hp["b1"], b2=self._hp["b2"],
+            eps=self._hp["eps"], weight_decay=self._hp["weight_decay"])
+
+
+def make_optimizer(cfg: Config):
     """AdamW(lr=2e-4, betas=(.8,.99), wd=1e-2) with an injectable learning
     rate (reference optimizer: ste_gan/constants.py:57; torch AdamW default
-    weight decay is 1e-2). With ``cfg.train.fused_optimizer`` the update runs
-    as the fused Pallas kernel (ste_gan_tpu/ops/fused_adamw.py)."""
+    weight decay is 1e-2). Backends, all with identical update math:
+
+    * default: plain ``optax.inject_hyperparams(optax.adamw)`` — inside
+      the fused step XLA fuses the per-leaf chains into the backward
+      program, and no alternative measured faster end-to-end;
+    * ``flat_optimizer``: flat single-buffer chain (_FlatAdamW) — 2.5x
+      faster in isolation, neutral in-step (benchmarks/opt_probe.py);
+    * ``fused_optimizer``: per-leaf Pallas kernel (slowest; kept for A/B).
+    """
     if getattr(cfg.train, "fused_optimizer", False):
         from ste_gan_tpu.ops.fused_adamw import fused_adamw
 
-        return fused_adamw(cfg.train.learning_rate, b1=cfg.train.adam_b1,
-                           b2=cfg.train.adam_b2, eps=1e-8, weight_decay=1e-2)
-    return optax.inject_hyperparams(optax.adamw)(
+        return _OptaxAdapter(fused_adamw(
+            cfg.train.learning_rate, b1=cfg.train.adam_b1,
+            b2=cfg.train.adam_b2, eps=1e-8, weight_decay=1e-2))
+    if getattr(cfg.train, "flat_optimizer", True):
+        return _FlatAdamW(cfg.train.learning_rate, cfg.train.adam_b1,
+                          cfg.train.adam_b2)
+    return _OptaxAdapter(optax.inject_hyperparams(optax.adamw)(
         learning_rate=cfg.train.learning_rate,
         b1=cfg.train.adam_b1, b2=cfg.train.adam_b2,
         eps=1e-8, weight_decay=1e-2,
-    )
+    ))
 
 
 def set_learning_rate(opt_state, lr: float):
@@ -206,9 +257,8 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
 
             (loss_d, spectral), grads_d = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(state.disc_params, state.disc_spectral)
-            updates_d, opt_d = optimizer.update(
-                grads_d, state.opt_d, state.disc_params)
-            disc_params = optax.apply_updates(state.disc_params, updates_d)
+            disc_params, opt_d = optimizer.apply_gradients(
+                state.disc_params, grads_d, state.opt_d)
             metrics["loss/discriminator"] = loss_d
         else:
             disc_params, spectral, opt_d = (
@@ -253,8 +303,8 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
         (loss_g, (aux, spectral)), fake_grad = jax.value_and_grad(
             g_loss_fn, has_aux=True)(fake, spectral)
         (grads_g,) = gen_vjp(fake_grad)
-        updates_g, opt_g = optimizer.update(grads_g, state.opt_g, state.gen_params)
-        gen_params = optax.apply_updates(state.gen_params, updates_g)
+        gen_params, opt_g = optimizer.apply_gradients(
+            state.gen_params, grads_g, state.opt_g)
 
         metrics["loss/generator"] = loss_g
         metrics.update(aux)
