@@ -80,6 +80,16 @@ class EMGSynthesizer:
                             jnp.asarray(t, jnp.int32))
         return emg[:, : self.upsample * t]
 
+    def synthesize_padded(self, feats: jnp.ndarray, session_idx: jnp.ndarray,
+                          mode_idx: jnp.ndarray, num_valid: jnp.ndarray
+                          ) -> jnp.ndarray:
+        """Batch with PER-ROW valid lengths: [B, Tpad, D] + valid [B] ->
+        [B, upsample*Tpad, C]; rows are exact up to ``upsample*valid[b]``
+        (padded frames are masked inside the generator). The micro-batching
+        server and convert_dataset use this to stack unequal utterances."""
+        return self._forward(self.params, feats, session_idx, mode_idx,
+                             num_valid)
+
     def synthesize(self, feats: np.ndarray, session_idx: int,
                    mode_idx: int = 0) -> np.ndarray:
         """Single utterance [T, D] -> [upsample*T, C]."""
@@ -177,9 +187,9 @@ def convert_dataset(synth: EMGSynthesizer, dataset,
                 valid[row] = len(f)
                 sess[row] = int(items[i][C.DataType.SESSION_INDEX])
                 mode[row] = int(items[i][C.DataType.SPEAKING_MODE_INDEX])
-            emg = synth._forward(synth.params, jnp.asarray(feats),
-                                 jnp.asarray(sess), jnp.asarray(mode),
-                                 jnp.asarray(valid))
+            emg = synth.synthesize_padded(jnp.asarray(feats),
+                                          jnp.asarray(sess), jnp.asarray(mode),
+                                          jnp.asarray(valid))
             emg = np.asarray(emg)
             for row, i in enumerate(chunk):
                 results[i] = {

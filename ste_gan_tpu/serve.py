@@ -1,0 +1,329 @@
+"""Speech->EMG synthesis serving: dynamic micro-batching + HTTP front-end.
+
+The reference has no serving surface at all (synthesis happens inline in
+its train loop; ste_gan/train.py:383-414). This module is the production
+analogue for the TPU build:
+
+* :class:`MicroBatcher` — a request queue whose worker thread coalesces
+  concurrent requests into one device call: it blocks on the first request,
+  drains whatever else arrives within ``max_wait_ms`` (up to
+  ``max_batch``), pads the batch to a shared bucketed length, and runs ONE
+  generator forward with per-row valid-length masks (exact — see
+  ``EMGSynthesizer.synthesize_padded``). Single compiled program per
+  (bucket, batch-size) pair, so the jit cache stays tiny under load.
+* :class:`SynthesisService` — checkpoint/vocab loading, warmup, stats.
+* :func:`main` — ``python -m ste_gan_tpu.serve --run_dir <gan_run>``:
+  a stdlib ThreadingHTTPServer speaking npz/npy bytes:
+
+      POST /synthesize   body: np.savez({feats[T,D] f32, session_id,
+                         speaking_mode}) -> npy bytes of [16*T, C] EMG
+      GET  /healthz      liveness
+      GET  /stats        request/batch counters, latency summary
+
+NumPy byte payloads (not JSON) keep the host path at memcpy speed; the
+dynamic batcher is what turns N concurrent RTF-0.007 requests into ~1
+device call instead of N.
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ste_gan_tpu import constants as C
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+@dataclass
+class _Request:
+    feats: np.ndarray           # [T, D] float32
+    session_idx: int
+    mode_idx: int
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+    error: Optional[Exception] = None
+    enqueued_at: float = field(default_factory=time.perf_counter)
+
+
+class MicroBatcher:
+    """Coalesce concurrent synthesis requests into single device calls."""
+
+    def __init__(self, synthesizer, max_batch: int = 8,
+                 max_wait_ms: float = 5.0, bucket: int = 64):
+        self._synth = synthesizer
+        self.max_batch = max(1, max_batch)
+        self.max_wait = max_wait_ms / 1e3
+        self.bucket = max(1, bucket)
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self.stats = {
+            "requests": 0, "batches": 0, "batched_requests": 0,
+            "max_batch_seen": 0, "latency_ms_sum": 0.0,
+        }
+        self._stats_lock = threading.Lock()
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def submit(self, feats: np.ndarray, session_idx: int,
+               mode_idx: int = 0, timeout: float = 900.0) -> np.ndarray:
+        """Blocking call from any thread; returns [upsample*T, C] EMG.
+
+        The default timeout tolerates a cold XLA compile of a new
+        (bucket, batch) program (minutes through a remote-TPU tunnel);
+        warmed-up servers answer in milliseconds."""
+        req = _Request(np.asarray(feats, np.float32), int(session_idx),
+                       int(mode_idx))
+        self._queue.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("synthesis request timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+    def _drain(self) -> List[_Request]:
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _worker(self):
+        import jax.numpy as jnp
+
+        while not self._stop.is_set():
+            batch = self._drain()
+            if not batch:
+                continue
+            try:
+                up = self._synth.upsample
+                t_pad = _round_up(max(len(r.feats) for r in batch),
+                                  self.bucket)
+                dim = batch[0].feats.shape[-1]
+                feats = np.zeros((len(batch), t_pad, dim), np.float32)
+                valid = np.zeros((len(batch),), np.int32)
+                sess = np.zeros((len(batch),), np.int32)
+                mode = np.zeros((len(batch),), np.int32)
+                for row, r in enumerate(batch):
+                    feats[row, : len(r.feats)] = r.feats
+                    valid[row] = len(r.feats)
+                    sess[row] = r.session_idx
+                    mode[row] = r.mode_idx
+                emg = np.asarray(self._synth.synthesize_padded(
+                    jnp.asarray(feats), jnp.asarray(sess), jnp.asarray(mode),
+                    jnp.asarray(valid)))
+                now = time.perf_counter()
+                for row, r in enumerate(batch):
+                    r.result = emg[row, : up * valid[row]]
+                    r.done.set()
+                with self._stats_lock:
+                    s = self.stats
+                    s["requests"] += len(batch)
+                    s["batches"] += 1
+                    s["batched_requests"] += len(batch) if len(batch) > 1 else 0
+                    s["max_batch_seen"] = max(s["max_batch_seen"], len(batch))
+                    s["latency_ms_sum"] += sum(
+                        (now - r.enqueued_at) * 1e3 for r in batch)
+            except Exception as exc:  # propagate to every waiter
+                for r in batch:
+                    r.error = exc
+                    r.done.set()
+
+    def stats_snapshot(self) -> Dict:
+        with self._stats_lock:
+            s = dict(self.stats)
+        s["mean_latency_ms"] = (s["latency_ms_sum"] / s["requests"]
+                                if s["requests"] else 0.0)
+        return s
+
+
+class SynthesisService:
+    """Loaded model + session vocabulary + micro-batcher."""
+
+    def __init__(self, synthesizer, session_id_to_idx: Dict[str, int],
+                 max_batch: int = 8, max_wait_ms: float = 5.0,
+                 bucket: int = 64):
+        self.session_id_to_idx = dict(session_id_to_idx)
+        self.batcher = MicroBatcher(synthesizer, max_batch=max_batch,
+                                    max_wait_ms=max_wait_ms, bucket=bucket)
+        self._synth = synthesizer
+
+    @classmethod
+    def from_run_dir(cls, run_dir: Path, tag: str = "best",
+                     max_batch: int = 8, max_wait_ms: float = 5.0,
+                     bucket: int = 64) -> "SynthesisService":
+        """Load config snapshot + checkpoint + session vocab from a GAN
+        training run directory (the same layout scripts/generate_emg.py
+        consumes)."""
+        import jax
+
+        from ste_gan_tpu.config import load_config
+        from ste_gan_tpu.infer import EMGSynthesizer
+        from ste_gan_tpu.train.checkpoint import CheckpointManager
+        from ste_gan_tpu.train.gan import build_models, init_state
+
+        run_dir = Path(run_dir)
+        cfg = load_config(config=run_dir / "config.yaml")
+        models = build_models(cfg)
+        template = init_state(cfg, models, jax.random.PRNGKey(0))
+        ckpt = CheckpointManager(run_dir)
+        if tag == "latest":
+            restored = ckpt.restore_latest(template)
+            if restored is None:
+                raise FileNotFoundError(f"no checkpoints in {run_dir}")
+            state, _ = restored
+        else:
+            state, _ = ckpt.restore(tag, template)
+        vocab_path = run_dir / "session_idx_to_id.json"
+        session_id_to_idx = {}
+        if vocab_path.exists():
+            idx_to_id = json.loads(vocab_path.read_text())
+            session_id_to_idx = {v: int(k) for k, v in idx_to_id.items()}
+        synth = EMGSynthesizer(models.generator, state.gen_params)
+        return cls(synth, session_id_to_idx, max_batch=max_batch,
+                   max_wait_ms=max_wait_ms, bucket=bucket)
+
+    # ------------------------------------------------------------------
+    def resolve_session(self, session) -> int:
+        if isinstance(session, (int, np.integer)):
+            return int(session)
+        if session in self.session_id_to_idx:
+            return self.session_id_to_idx[session]
+        raise KeyError(f"unknown session id {session!r}; known: "
+                       f"{sorted(self.session_id_to_idx)}")
+
+    def synthesize(self, feats: np.ndarray, session, mode_idx: int = 0
+                   ) -> np.ndarray:
+        return self.batcher.submit(feats, self.resolve_session(session),
+                                   mode_idx)
+
+    def warmup(self, num_frames: int = 64, batch_sizes=(1,)) -> None:
+        """Pre-compile the (bucket, batch) programs the server will hit."""
+        dim = self._synth.generator.speech_input_dim
+        for b in batch_sizes:
+            reqs = [threading.Thread(
+                target=lambda: self.batcher.submit(
+                    np.zeros((num_frames, dim), np.float32), 0))
+                for _ in range(b)]
+            for t in reqs:
+                t.start()
+            for t in reqs:
+                t.join()
+
+    def close(self):
+        self.batcher.close()
+
+
+# ---------------------------------------------------------------------------
+# HTTP front-end (stdlib; npz in, npy out)
+# ---------------------------------------------------------------------------
+
+
+def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
+                     port: int = 8571):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True})
+            elif self.path == "/stats":
+                self._json(200, service.batcher.stats_snapshot())
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = np.load(io.BytesIO(self.rfile.read(length)),
+                                  allow_pickle=False)
+                feats = payload["feats"]
+                session = payload["session"].item() if "session" in payload else 0
+                mode = int(payload["mode"].item()) if "mode" in payload else 0
+                emg = service.synthesize(feats, session, mode)
+                buf = io.BytesIO()
+                np.save(buf, emg)
+                data = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            except Exception as exc:
+                self._json(400, {"error": f"{type(exc).__name__}: {exc}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--run_dir", type=Path, required=True)
+    ap.add_argument("--tag", default="best")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8571)
+    ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument("--max_wait_ms", type=float, default=5.0)
+    ap.add_argument("--bucket", type=int, default=64)
+    args = ap.parse_args()
+
+    from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+    service = SynthesisService.from_run_dir(
+        args.run_dir, tag=args.tag, max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms, bucket=args.bucket)
+    print(f"warming up (bucket={args.bucket})...", flush=True)
+    service.warmup(num_frames=args.bucket, batch_sizes=(1,))
+    server = make_http_server(service, args.host, args.port)
+    print(f"serving speech->EMG on http://{args.host}:{args.port} "
+          f"(POST /synthesize, GET /healthz, GET /stats)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        service.close()
+
+
+if __name__ == "__main__":
+    main()
