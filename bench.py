@@ -33,10 +33,9 @@ def main() -> None:
 
     enable_compilation_cache()
     cfg = Config()  # full-size defaults: batch 32, chunk 2048, bf16
-    # Performance mode: stack (fake, real) into single discriminator passes
-    # (identical loss math; only the spectral-norm power-iteration cadence
-    # differs — see TrainConfig.fused_disc_passes).
-    cfg.train.fused_disc_passes = True
+    # Paired discriminator passes (the config default) are semantics-exact:
+    # dual-sigma SNConvs advance the power iteration twice per stacked
+    # (fake, real) pass — see TrainConfig.fused_disc_passes.
     # Perf-knob env overrides (A/B sweeps; defaults are the shipped config).
     if os.environ.get("STE_BENCH_PALLAS_CONV"):
         cfg.train.pallas_grouped_conv = True

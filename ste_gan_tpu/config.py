@@ -120,11 +120,14 @@ class TrainConfig:
     #: faster than optax in-step — per-leaf launches dominate; kept for
     #: A/B). Takes precedence over flat_optimizer when set.
     fused_optimizer: bool = False
-    #: Stack (fake, real) into one batch-2B discriminator pass (half the
-    #: ensemble launches; identical losses). Advances the spectral-norm
-    #: power iteration once per pair instead of twice — the only deviation
-    #: from reference semantics, hence off by default.
-    fused_disc_passes: bool = False
+    #: Evaluate each (fake, real) discriminator pair in ONE traced ensemble
+    #: pass: weight-normed sub-discriminators run on the stacked batch-2B
+    #: input (bit-identical — they are stateless), and the spectral-normed
+    #: scale discriminator runs fake-then-real inside the pass so its power
+    #: iteration advances exactly like two reference forwards. Semantics-
+    #: exact and ~10% faster (57 vs 63 ms/step on v5e), hence on by
+    #: default; set False to trace each pass separately.
+    fused_disc_passes: bool = True
     #: Route the scale discriminators' grouped convs through the Pallas
     #: slab block-diagonal kernel (ste_gan_tpu/ops/pallas_conv.py) instead
     #: of XLA's feature_group_count lowering. TPU-only perf knob; identical

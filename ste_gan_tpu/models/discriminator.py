@@ -37,9 +37,9 @@ def _normed_conv(norm: str, features, kernel_size, **kw):
     raise ValueError(f"unknown norm: {norm}")
 
 
-def _apply(layer, x, train: bool):
+def _apply(layer, x, train: bool, dual_batch=None):
     if isinstance(layer, SNConv):
-        return layer(x, update_stats=train)
+        return layer(x, update_stats=train, dual_batch=dual_batch)
     return layer(x)
 
 
@@ -48,12 +48,13 @@ class _FmapDiscriminator(nn.Module):
     maps collected post-activation, raw output conv appended last
     (reference: ste_gan/models/discriminator.py:38-43,61-67)."""
 
-    def run_layers(self, layers, output_layer, x, train: bool) -> List[jnp.ndarray]:
+    def run_layers(self, layers, output_layer, x, train: bool,
+                   dual_batch=None) -> List[jnp.ndarray]:
         fmaps = []
         for layer in layers:
-            x = nn.leaky_relu(_apply(layer, x, train), LEAKY_SLOPE)
+            x = nn.leaky_relu(_apply(layer, x, train, dual_batch), LEAKY_SLOPE)
             fmaps.append(x)
-        fmaps.append(_apply(output_layer, x, train))
+        fmaps.append(_apply(output_layer, x, train, dual_batch))
         return fmaps
 
 
@@ -112,7 +113,8 @@ class ScaleDiscriminator(_FmapDiscriminator):
     conv_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, train: bool = True) -> List[jnp.ndarray]:
+    def __call__(self, x, train: bool = True,
+                 dual_batch=None) -> List[jnp.ndarray]:
         layers = [
             _normed_conv(self.norm, feats, (k,), strides=s, groups=g, padding=pad,
                          dtype=self.dtype, conv_impl=self.conv_impl,
@@ -121,7 +123,7 @@ class ScaleDiscriminator(_FmapDiscriminator):
         ]
         output = _normed_conv("weight_norm", 1, (3,), padding=1,
                               dtype=self.dtype, name="output")
-        return self.run_layers(layers, output, x, train)
+        return self.run_layers(layers, output, x, train, dual_batch)
 
 
 SMALL_PERIOD_SPEC = ((32, 3, 1, 2), (256, 3, 3, 2), (512, 3, 3, 2))
@@ -156,27 +158,64 @@ class DiscriminatorEnsemble(nn.Module):
     conv_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, train: bool = True) -> List[List[jnp.ndarray]]:
+    def __call__(self, x, train: bool = True, pair=None):
+        """Single input: returns the list of fmap lists (reference
+        semantics).
+
+        ``pair``: evaluate the ensemble on ``(x, pair)`` — e.g. (fake,
+        real) — in ONE traced pass, returning ``(results_x, results_pair)``.
+        Stateless (weight-normed) sub-discriminators run on the
+        concatenated batch (bit-identical to two separate calls); the
+        spectrally-normalised first scale discriminator uses dual-sigma
+        SNConvs — one stacked conv whose power iteration advances twice,
+        scaling the halves by their respective sigmas — exactly like two
+        reference forwards (torch spectral_norm iterates once per forward;
+        ste_gan/train.py:189-207). The pair mode is therefore
+        semantics-exact, not an approximation.
+        """
         x = x.astype(self.dtype)
         period_spec = self.period_spec_override or (
             SMALL_PERIOD_SPEC if self.small else FULL_PERIOD_SPEC)
         scale_spec = self.scale_spec_override or (
             SMALL_SCALE_SPEC if self.small else FULL_SCALE_SPEC)
+        paired = pair is not None
+        if paired:
+            pair = pair.astype(self.dtype)
+            b = x.shape[0]
+            xin = jnp.concatenate([x, pair], axis=0)
+        else:
+            xin = x
 
-        results = []
+        results, results_pair = [], []
+
+        def emit(fmaps_concat):
+            if paired:
+                results.append([fm[:b] for fm in fmaps_concat])
+                results_pair.append([fm[b:] for fm in fmaps_concat])
+            else:
+                results.append(fmaps_concat)
+
         for i in range(self.num_multi_pool):
             disc = PeriodDiscriminator(
                 period=PRIME_PERIODS[i], layer_spec=period_spec,
                 dtype=self.dtype, name=f"period_{PRIME_PERIODS[i]}")
-            results.append(disc(x, train))
+            emit(disc(xin, train))
 
         for i in range(self.num_multi_scale):
             disc = ScaleDiscriminator(
                 norm="spectral_norm" if i == 0 else "weight_norm",
                 layer_spec=scale_spec, dtype=self.dtype,
                 conv_impl=self.conv_impl, name=f"scale_{i}")
-            results.append(disc(x, train))
-            x = avg_pool1d(x, window=4, stride=2, padding=1)
+            if paired and i == 0 and train:
+                # Dual-sigma SNConv: one stacked conv, power iteration
+                # advances twice, halves scaled by their own sigma — exactly
+                # two sequential reference forwards (see SNConv.__call__).
+                emit(disc(xin, train, dual_batch=b))
+            else:
+                emit(disc(xin, train))
+            xin = avg_pool1d(xin, window=4, stride=2, padding=1)
+        if paired:
+            return results, results_pair
         return results
 
 

@@ -25,7 +25,7 @@ f32 accumulation.
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -180,7 +180,16 @@ class SNConv(_ConvBase):
     eps: float = 1e-12
 
     @nn.compact
-    def __call__(self, x, update_stats: bool = True):
+    def __call__(self, x, update_stats: bool = True,
+                 dual_batch: Optional[int] = None):
+        """``dual_batch=B``: the input is a stacked pair ``[fake; real]``
+        with ``B`` fake rows, and the layer reproduces TWO sequential
+        training forwards in one conv: the power iteration advances twice,
+        the first ``B`` rows are scaled by ``1/sigma_1`` (first iteration)
+        and the rest by ``1/sigma_2`` (second), exploiting conv linearity
+        (``conv(x, w/s) == conv(x, w)/s``). Exactly the reference's
+        fake-then-real spectral_norm cadence (torch iterates once per
+        forward), at stacked-batch cost."""
         strides, dilation, padding, kshape, fan_in = self._geometry(x)
         kernel = self.param("kernel", _torch_conv_init(fan_in), kshape)
         out_ch = self.features
@@ -199,9 +208,30 @@ class SNConv(_ConvBase):
 
         u = jax.lax.stop_gradient(u_var.value)
         v = jax.lax.stop_gradient(v_var.value)
+        mat_ng = jax.lax.stop_gradient(mat)
+        if dual_batch is not None and update_stats:
+            # Two power iterations; sigma has gradients through `mat` only
+            # (u/v detached), like the reference wrapper.
+            v1 = _l2_normalize(mat_ng.T @ u, self.eps)
+            u1 = _l2_normalize(mat_ng @ v1, self.eps)
+            v2 = _l2_normalize(mat_ng.T @ u1, self.eps)
+            u2 = _l2_normalize(mat_ng @ v2, self.eps)
+            if not self.is_initializing():
+                u_var.value = u2
+                v_var.value = v2
+            sigma1 = u1 @ (mat @ v1)
+            sigma2 = u2 @ (mat @ v2)
+            y = _conv(x, kernel, strides, padding, dilation, self.groups,
+                      self.dtype, impl=self.conv_impl)
+            inv = jnp.concatenate([
+                jnp.full((dual_batch,), 1.0, jnp.float32) / sigma1,
+                jnp.full((x.shape[0] - dual_batch,), 1.0, jnp.float32) / sigma2,
+            ]).astype(y.dtype)
+            y = y * inv.reshape((-1,) + (1,) * (y.ndim - 1))
+            return self._finish(y, fan_in)
         if update_stats:
-            v = _l2_normalize(jax.lax.stop_gradient(mat).T @ u, self.eps)
-            u = _l2_normalize(jax.lax.stop_gradient(mat) @ v, self.eps)
+            v = _l2_normalize(mat_ng.T @ u, self.eps)
+            u = _l2_normalize(mat_ng @ v, self.eps)
             if not self.is_initializing():
                 u_var.value = u
                 v_var.value = v

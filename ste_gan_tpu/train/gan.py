@@ -212,19 +212,19 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
     def disc_apply_pair(params, spectral, fake_x, real_x):
         """One (fake, real) discriminator evaluation pair.
 
-        With ``train.fused_disc_passes`` the two inputs stack into a single
-        batch-2B ensemble pass (half the kernel launches; loss values are
-        identical). The power iteration then advances once instead of twice
-        per pair — the only deviation from reference semantics, which is why
-        the flag defaults to off.
+        With ``train.fused_disc_passes`` (default) the two inputs evaluate
+        in ONE traced ensemble pass: the stateless weight-normed
+        sub-discriminators run on the stacked batch-2B input (bit-identical
+        to two calls), and the spectrally-normalised scale discriminator
+        runs on fake then real separately inside the pass, so its power
+        iteration advances exactly like the reference's two forwards
+        (ste_gan/train.py:189-207) — semantics-exact, ~10% faster step.
         """
         if fused_passes:
-            b = fake_x.shape[0]
-            fmaps, spectral = disc_apply(
-                params, spectral, jnp.concatenate([fake_x, real_x], axis=0))
-            fmaps_fake = [[fm[:b] for fm in fl] for fl in fmaps]
-            fmaps_real = [[fm[b:] for fm in fl] for fl in fmaps]
-            return fmaps_fake, fmaps_real, spectral
+            (fmaps_fake, fmaps_real), mutated = models.discriminator.apply(
+                {"params": params, "spectral": spectral}, fake_x, train=True,
+                pair=real_x, mutable=["spectral"])
+            return fmaps_fake, fmaps_real, mutated["spectral"]
         fmaps_fake, spectral = disc_apply(params, spectral, fake_x)
         fmaps_real, spectral = disc_apply(params, spectral, real_x)
         return fmaps_fake, fmaps_real, spectral
