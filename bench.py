@@ -41,6 +41,10 @@ def main() -> None:
         cfg.train.pallas_grouped_conv = True
     if os.environ.get("STE_BENCH_FUSED_OPT"):
         cfg.train.fused_optimizer = True
+    if os.environ.get("STE_BENCH_BATCH"):
+        # Throughput-scaling sweeps (vs_baseline stays normalised per
+        # sample, so bigger batches show the per-chip capacity headroom).
+        cfg.train.batch_size = int(os.environ["STE_BENCH_BATCH"])
     models = build_models(cfg)
     rng = jax.random.PRNGKey(0)
     encoder_variables = jax.jit(lambda r: models.encoder.init(

@@ -382,6 +382,15 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
     writer = MetricLogger(output_directory)
     model = init_emg_encoder(cfg)
 
+    if len(trainset) == 0 or len(devset) == 0:
+        # Fail fast: an empty partition would spin through epochs with no
+        # batches (same guard as the GAN trainer's loaders()).
+        raise ValueError(
+            f"empty dataset: train={len(trainset)} dev={len(devset)} "
+            "utterances. If this is the synthetic development corpus, "
+            "(re)generate it with: python -m ste_gan_tpu.data.synthetic "
+            "--root data/synthetic")
+
     seq_len = EC.SEQ_LEN
     window = seq_len * 8
     n_win = max(1, -(-max_len // window))
