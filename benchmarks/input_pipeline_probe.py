@@ -59,27 +59,28 @@ def main():
     n = args.batches
     results = {}
 
+    def endless(loader):
+        while True:
+            yield from loader
+
     def loop_batches(transform=None, device=False, label=""):
         train_loader, _, _ = loaders(Path(args.data_root), batch_size=32)
         mesh = create_mesh(largest_divisor_mesh_size(32, len(jax.devices())))
-        it = iter(train_loader)
-        # Warm one batch (first iteration builds caches).
-        first = drop_none(next(it))
+        it = endless(train_loader)
+        # Warm a full epoch (fills the RAM cache).
+        for _ in range(4):
+            drop_none(next(it))
         start = time.perf_counter()
-        got = 0
         last = None
-        for host_batch in it:
-            host_batch = drop_none(host_batch)
+        for _ in range(n):
+            host_batch = drop_none(next(it))
             if transform:
                 host_batch = transform(host_batch)
             if device:
                 last = shard_batch(mesh, host_batch)
-            got += 1
-            if got >= n:
-                break
         if device and last is not None:
             jax.block_until_ready(last)
-        ms = (time.perf_counter() - start) / got * 1e3
+        ms = (time.perf_counter() - start) / n * 1e3
         print(f"  {label:24s} {ms:8.2f} ms/batch", flush=True)
         return ms
 
@@ -103,24 +104,22 @@ def main():
         train_loader, _, _ = loaders(Path(args.data_root), batch_size=32)
 
         def sharded():
-            for hb in train_loader:
-                hb = drop_none(hb)
-                if transform:
-                    hb = transform(hb)
-                yield shard_batch(mesh, hb)
+            while True:
+                for hb in train_loader:
+                    hb = drop_none(hb)
+                    if transform:
+                        hb = transform(hb)
+                    yield shard_batch(mesh, hb)
 
         it = iter(Prefetcher(sharded, 2))
-        state, metrics = step(state, next(it), encoder_vars_r)  # compile/warm
+        for _ in range(3):  # compile + warm, settle the pipeline
+            state, metrics = step(state, next(it), encoder_vars_r)
         float(np.asarray(metrics["loss/generator"]))
         start = time.perf_counter()
-        got = 0
-        for batch in it:
-            state, metrics = step(state, batch, encoder_vars_r)
-            got += 1
-            if got >= n:
-                break
+        for _ in range(n):
+            state, metrics = step(state, next(it), encoder_vars_r)
         float(np.asarray(metrics["loss/generator"]))
-        ms = (time.perf_counter() - start) / got * 1e3
+        ms = (time.perf_counter() - start) / n * 1e3
         key = label.replace(" ", "_")
         results[key] = ms
         print(f"  {label:24s} {ms:8.2f} ms/step "

@@ -135,6 +135,14 @@ class TrainConfig:
     pallas_grouped_conv: bool = False
     #: Host prefetch depth for the input pipeline.
     prefetch: int = 2
+    #: Wire format for float training-batch features on the host->device
+    #: path ("float16" | "float32"). f16 halves transfer bytes — measured
+    #: 143 -> 70 ms/step end-to-end through the remote-TPU tunnel
+    #: (benchmarks/input_pipeline_probe.py) — and matches the data
+    #: precision the reference's fp16 AMP already computes with; all losses
+    #: upcast to f32 on device. Validation batches stay f32 (metric
+    #: fidelity). Set "float32" for bit-exact input parity runs.
+    transfer_dtype: str = "float16"
 
 
 @dataclass

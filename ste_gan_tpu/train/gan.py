@@ -34,6 +34,7 @@ import dataclasses
 from functools import partial
 from typing import Any, Callable, Dict, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
@@ -128,9 +129,11 @@ def make_optimizer(cfg: Config):
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Host-side LR write into an inject_hyperparams state (the per-epoch
-    ExponentialLR analogue; no recompilation)."""
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    """Host-side LR write into an inject_hyperparams-style state (the
+    per-epoch ExponentialLR analogue; no recompilation). The value is a
+    HOST scalar: it rides up with the next step's dispatch instead of
+    paying a standalone device-transfer RPC at every epoch boundary."""
+    opt_state.hyperparams["learning_rate"] = np.float32(lr)
     return opt_state
 
 

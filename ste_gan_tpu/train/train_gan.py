@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import itertools
+from functools import partial
 import logging
 import signal
 import sys
@@ -111,15 +112,19 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     state = replicate(mesh, state)
     encoder_variables = replicate(mesh, encoder_variables)
 
-    train_step = jax.jit(make_train_step(cfg, models), donate_argnums=0)
+    raw_train_step = make_train_step(cfg, models)
     eval_step = jax.jit(make_eval_step(cfg, models))
 
-    # One fused device-side update for the epoch phoneme counters: eager
-    # per-counter adds each step would pay per-op dispatch latency (severe
-    # through a remote-TPU tunnel; measurable anywhere).
-    @jax.jit
-    def accumulate_counts(acc, metrics):
-        return {k: acc[k] + metrics[f"count/{k}"] for k in acc}
+    # ONE dispatch per step: the epoch phoneme-counter accumulation rides
+    # inside the same jitted program as the train step. A separate jitted
+    # call per step pays a second dispatch RPC (severe through a remote-TPU
+    # tunnel: measured ~100 ms/step of pure dispatch latency; measurable
+    # anywhere).
+    @partial(jax.jit, donate_argnums=(0, 3))
+    def train_step(state, batch, encoder_variables, acc):
+        state, metrics = raw_train_step(state, batch, encoder_variables)
+        acc = {k: acc[k] + metrics[f"count/{k}"] for k in acc}
+        return state, metrics, acc
 
     synth = EMGSynthesizer(models.generator, state.gen_params, bucket=64)
     valid_dataset = valid_loader.dataset
@@ -183,34 +188,76 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
         except ValueError:  # not in main thread
             break
 
-    # Per-epoch accumulated phoneme counters (device arrays, no sync).
-    for epoch in itertools.count(start_epoch + 1):
-        logging.info("Starting epoch %d", epoch)
+    # ONE continuous prefetched pipeline across epochs: recreating the
+    # prefetcher per epoch drains the device-transfer pipeline at every
+    # epoch boundary (measured ~2 batch latencies lost per epoch — ruinous
+    # on small corpora with 3-step epochs). Batches carry their epoch index
+    # so per-epoch semantics stay exact: every step of epoch e runs with
+    # lr(e) (applied when the consumer first sees e), counters reset at the
+    # boundary, '-last' saves fire on the boundary.
+    # float16 wire format for train batches: the host->device transfer is
+    # the end-to-end bottleneck (81 ms/batch f32 vs 25 ms f16 through the
+    # tunnel; benchmarks/input_pipeline_probe.py) — losses upcast on device.
+    transfer_dtype = (np.float16 if t_cfg.transfer_dtype == "float16"
+                      else np.float32)
+
+    def _cast_for_transfer(batch: Dict) -> Dict:
+        if transfer_dtype == np.float32:
+            return batch
+        return {k: (v.astype(transfer_dtype)
+                    if getattr(v, "dtype", None) == np.float32 else v)
+                for k, v in batch.items()}
+
+    def _epoch_batches():
+        # Bounded production so the prefetch thread terminates with the run.
+        budget = t_cfg.max_steps - steps + cfg.train.prefetch + 4
+        produced = 0
+        for ep in itertools.count(start_epoch + 1):
+            for host_batch in train_loader:
+                if produced >= budget:
+                    return
+                produced += 1
+                # shard_batch (async device_put) runs in the prefetch thread
+                # so transfer of batch k+1 overlaps step k's compute.
+                yield ep, shard_batch(
+                    mesh, _cast_for_transfer(_drop_none(host_batch)))
+
+    acc = {}
+    epoch = start_epoch
+    epoch_start = time.time()
+
+    def _begin_epoch(ep: int):
+        nonlocal epoch, epoch_start, acc
+        if acc:  # close out the previous epoch
+            logging.info("Finished epoch %d in %.1fs", epoch,
+                         time.time() - epoch_start)
+            if epoch % t_cfg.save_last_epoch_interval == 0:
+                ckpt.save_last(state, epoch)
+        epoch = ep
         epoch_start = time.time()
+        logging.info("Starting epoch %d", epoch)
         lr = epoch_lr(cfg, epoch)
         set_learning_rate(state.opt_g, lr)
         set_learning_rate(state.opt_d, lr)
         writer.scalar("train/lr", lr, steps)
-
-        acc = {k: jnp.zeros((), jnp.int32)
+        # Host-side zeros: they ride up with the next step's dispatch
+        # (no standalone device allocation RPCs at epoch boundaries).
+        acc = {k: np.zeros((), np.int32)
                for k in ("num_phones", "num_correct", "num_silence",
                          "num_correct_no_silence")}
 
-        def _sharded_batches():
-            # shard_batch (async device_put) runs in the prefetch thread so
-            # host->device transfer of batch k+1 overlaps step k's compute.
-            for host_batch in train_loader:
-                yield shard_batch(mesh, _drop_none(host_batch))
-
-        # Interval checks below use the PRE-increment step index, with
-        # ``steps += 1`` at the end of the loop body — matching the
-        # reference's cadence (ste_gan/train.py:275-468: checks fire on the
-        # pre-increment counter, so step-0 logging/validation fires and
-        # step-indexed TensorBoard curves align with reference runs).
-        for batch in Prefetcher(_sharded_batches, cfg.train.prefetch):
+    # Interval checks below use the PRE-increment step index, with
+    # ``steps += 1`` at the end of the loop body — matching the
+    # reference's cadence (ste_gan/train.py:275-468: checks fire on the
+    # pre-increment counter, so step-0 logging/validation fires and
+    # step-indexed TensorBoard curves align with reference runs).
+    if True:
+        for batch_epoch, batch in Prefetcher(_epoch_batches, cfg.train.prefetch):
+            if batch_epoch != epoch or not acc:
+                _begin_epoch(batch_epoch)
             if profile_steps and steps == 10:
                 jax.profiler.start_trace(str(model_directory / "profile"))
-            state, metrics = train_step(state, batch, encoder_variables)
+            state, metrics, acc = train_step(state, batch, encoder_variables, acc)
             if profile_steps and steps == 9 + profile_steps:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
@@ -218,12 +265,10 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
                              model_directory / "profile")
 
             if interrupted["flag"]:
-                ckpt.save_periodic(state, steps, epoch)
+                ckpt.save_periodic(state, steps, epoch, block=True)
                 logging.warning("Preemption checkpoint at step %d; exiting", steps)
                 writer.close()
                 return final_val
-
-            acc = accumulate_counts(acc, metrics)  # device-side, async
 
             if steps % t_cfg.interval_log == 0:
                 host = {k: float(v) for k, v in metrics.items()
@@ -276,10 +321,13 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
 
             steps += 1
 
-        logging.info("Finished epoch %d in %.1fs", epoch,
-                     time.time() - epoch_start)
-        if epoch % t_cfg.save_last_epoch_interval == 0:
-            ckpt.save_last(state, epoch)
+        # Only reachable if the batch budget was exhausted before max_steps
+        # (cannot happen with a correct budget) — save and exit cleanly.
+        logging.warning("Batch pipeline exhausted at step %d before "
+                        "max_steps %d", steps, t_cfg.max_steps)
+        ckpt.save_final(state, epoch)
+        writer.close()
+        return final_val
 
 
 def _drop_none(batch: Dict) -> Dict:
