@@ -245,6 +245,13 @@ def make_encoder_train_step(model, max_samples: int,
     optimizer = make_optimizer()
 
     def train_step(state: EncoderTrainState, batch, rng):
+        # ``rng`` may be a PRNGKey or a host integer seed. The seed form
+        # keeps all key derivation in-graph — a host-side
+        # jax.random.split per step is a standalone device dispatch
+        # (expensive through a remote-TPU tunnel).
+        if jnp.issubdtype(jnp.asarray(rng).dtype, jnp.integer):
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(C.RANDOM_SEED), jnp.asarray(rng))
         rng_shift, rng_drop = jax.random.split(rng)
 
         def loss_fn(params):
@@ -445,31 +452,50 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
     batch_idx = 0
     global_step = 0
 
+    from ste_gan_tpu.data.loader import Prefetcher
+
     for epoch_idx in range(num_epochs):
         logging.info("Starting encoder epoch %d", epoch_idx + 1)
-        losses = []
         epoch_start = time.time()
-        for index_batch in sampler:
-            items = [trainset[i] for i in index_batch]
-            batch = fold_encoder_batch(
-                items, n_win=n_win, max_samples=max_samples,
-                max_silent=max_silent,
-                silent_target_frames=silent_target_frames,
-                silent_pred_frames=silent_pred_frames).as_dict()
+
+        def _batches():
+            # Fold + host->device transfer in a background thread so batch
+            # k+1 overlaps step k's compute (floats ship as f16; every loss
+            # upcasts on device — see TrainConfig.transfer_dtype rationale).
+            for index_batch in sampler:
+                items = [trainset[i] for i in index_batch]
+                batch = fold_encoder_batch(
+                    items, n_win=n_win, max_samples=max_samples,
+                    max_silent=max_silent,
+                    silent_target_frames=silent_target_frames,
+                    silent_pred_frames=silent_pred_frames).as_dict()
+                batch = {k: (v.astype(np.float16)
+                             if getattr(v, "dtype", None) == np.float32 else v)
+                         for k, v in batch.items()}
+                yield jax.device_put(batch)
+
+        # Per-step metrics stay on device; host conversion happens once at
+        # epoch end (a float() per step would serialize every dispatch).
+        pending = []
+        for batch in Prefetcher(_batches, 2):
             lr = warmup_lr(batch_idx) * plateau.multiplier
-            state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-            rng, step_rng = jax.random.split(rng)
-            state, metrics = train_step(state, batch, step_rng)
+            state.opt_state.hyperparams["learning_rate"] = np.float32(lr)
+            state, metrics = train_step(state, batch, batch_idx)
+            pending.append((global_step + 1, metrics))
             batch_idx += 1
             global_step += 1
-            loss_val = float(metrics["loss"])
-            losses.append(loss_val)
-            phon_acc = int(metrics["num_correct"]) / max(int(metrics["num_frames"]), 1)
-            writer.scalar("train/loss", loss_val, global_step)
-            writer.scalar("train_loss/phon_acc", phon_acc, global_step)
             if debug:
                 logging.warning("debug: breaking train loop after one batch")
                 break
+
+        losses = []
+        for step_i, metrics in pending:
+            loss_val = float(metrics["loss"])
+            losses.append(loss_val)
+            phon_acc = (int(metrics["num_correct"])
+                        / max(int(metrics["num_frames"]), 1))
+            writer.scalar("train/loss", loss_val, step_i)
+            writer.scalar("train_loss/phon_acc", phon_acc, step_i)
 
         val, phoneme_acc, _ = evaluate(model, eval_step, state, devset,
                                        n_win_eval, max_samples)
