@@ -43,7 +43,7 @@ from ste_gan_tpu.models.emg_encoder import init_emg_encoder
 from ste_gan_tpu.ops.dtw import dtw_alignment
 from ste_gan_tpu.train.checkpoint import save_pytree
 from ste_gan_tpu.train.encoder_data import (
-    EncoderBatch, SizeAwareSampler, fold_encoder_batch, windows_needed)
+    SizeAwareSampler, fold_encoder_batch, windows_needed)
 from ste_gan_tpu.utils.logging_utils import MetricLogger, setup_run_logging
 
 

@@ -251,83 +251,82 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     # reference's cadence (ste_gan/train.py:275-468: checks fire on the
     # pre-increment counter, so step-0 logging/validation fires and
     # step-indexed TensorBoard curves align with reference runs).
-    if True:
-        for batch_epoch, batch in Prefetcher(_epoch_batches, cfg.train.prefetch):
-            if batch_epoch != epoch or not acc:
-                _begin_epoch(batch_epoch)
-            if profile_steps and steps == 10:
-                jax.profiler.start_trace(str(model_directory / "profile"))
-            state, metrics, acc = train_step(state, batch, encoder_variables, acc)
-            if profile_steps and steps == 9 + profile_steps:
-                jax.block_until_ready(metrics)
-                jax.profiler.stop_trace()
-                logging.info("Wrote profiler trace to %s",
-                             model_directory / "profile")
+    for batch_epoch, batch in Prefetcher(_epoch_batches, cfg.train.prefetch):
+        if batch_epoch != epoch or not acc:
+            _begin_epoch(batch_epoch)
+        if profile_steps and steps == 10:
+            jax.profiler.start_trace(str(model_directory / "profile"))
+        state, metrics, acc = train_step(state, batch, encoder_variables, acc)
+        if profile_steps and steps == 9 + profile_steps:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            logging.info("Wrote profiler trace to %s",
+                         model_directory / "profile")
 
-            if interrupted["flag"]:
-                ckpt.save_periodic(state, steps, epoch, block=True)
-                logging.warning("Preemption checkpoint at step %d; exiting", steps)
-                writer.close()
-                return final_val
+        if interrupted["flag"]:
+            ckpt.save_periodic(state, steps, epoch, block=True)
+            logging.warning("Preemption checkpoint at step %d; exiting", steps)
+            writer.close()
+            return final_val
 
-            if steps % t_cfg.interval_log == 0:
-                host = {k: float(v) for k, v in metrics.items()
-                        if k.startswith("loss/")}
-                writer.scalars({f"train_{k}": v for k, v in host.items()}, steps)
-                acc_host = {k: int(v) for k, v in acc.items()}
-                ph_acc = phoneme_accuracy(acc_host["num_phones"],
-                                          acc_host["num_correct"])
-                ph_acc_ns = phoneme_accuracy_no_silence(
-                    acc_host["num_phones"], acc_host["num_correct_no_silence"],
-                    acc_host["num_silence"])
-                writer.scalar("train_loss/phoneme_accuracy_avg", ph_acc, steps)
-                writer.scalar("train_loss/phoneme_accuracy_avg_no_sil", ph_acc_ns, steps)
-                writer.scalars(step_timer.update(steps), steps)
-                ms_per_batch = 1e3 * (time.time() - log_start) / t_cfg.interval_log
-                logging.info(
-                    "Epoch %d | Steps %d | ms/batch %5.2f | G %.4f | D %.4f | "
-                    "Ph.Acc %.2f | Ph.Acc(no sil) %.2f",
-                    epoch, steps, ms_per_batch, host.get("loss/generator", 0.0),
-                    host.get("loss/discriminator", 0.0), ph_acc, ph_acc_ns)
-                log_start = time.time()
+        if steps % t_cfg.interval_log == 0:
+            host = {k: float(v) for k, v in metrics.items()
+                    if k.startswith("loss/")}
+            writer.scalars({f"train_{k}": v for k, v in host.items()}, steps)
+            acc_host = {k: int(v) for k, v in acc.items()}
+            ph_acc = phoneme_accuracy(acc_host["num_phones"],
+                                      acc_host["num_correct"])
+            ph_acc_ns = phoneme_accuracy_no_silence(
+                acc_host["num_phones"], acc_host["num_correct_no_silence"],
+                acc_host["num_silence"])
+            writer.scalar("train_loss/phoneme_accuracy_avg", ph_acc, steps)
+            writer.scalar("train_loss/phoneme_accuracy_avg_no_sil", ph_acc_ns, steps)
+            writer.scalars(step_timer.update(steps), steps)
+            ms_per_batch = 1e3 * (time.time() - log_start) / t_cfg.interval_log
+            logging.info(
+                "Epoch %d | Steps %d | ms/batch %5.2f | G %.4f | D %.4f | "
+                "Ph.Acc %.2f | Ph.Acc(no sil) %.2f",
+                epoch, steps, ms_per_batch, host.get("loss/generator", 0.0),
+                host.get("loss/discriminator", 0.0), ph_acc, ph_acc_ns)
+            log_start = time.time()
 
-            if steps % t_cfg.interval_valid == 0:
-                val_start = time.time()
-                val = run_validation(state.gen_params)
-                final_val = val
-                writer.scalars(val, steps)
-                logging.info("Validation @ %d: %s (%.2fs)", steps,
-                             {k: round(v, 4) for k, v in val.items()},
-                             time.time() - val_start)
-                if val["val/speech_unit"] < best_su_loss:
-                    best_su_loss = val["val/speech_unit"]
-                    logging.info("New best val SU error %.4f — saving best",
-                                 best_su_loss)
-                    ckpt.save_best(state, epoch)
+        if steps % t_cfg.interval_valid == 0:
+            val_start = time.time()
+            val = run_validation(state.gen_params)
+            final_val = val
+            writer.scalars(val, steps)
+            logging.info("Validation @ %d: %s (%.2fs)", steps,
+                         {k: round(v, 4) for k, v in val.items()},
+                         time.time() - val_start)
+            if val["val/speech_unit"] < best_su_loss:
+                best_su_loss = val["val/speech_unit"]
+                logging.info("New best val SU error %.4f — saving best",
+                             best_su_loss)
+                ckpt.save_best(state, epoch)
 
-            if steps % t_cfg.interval_sample == 0:
-                plot_samples(state.gen_params, steps)
+        if steps % t_cfg.interval_sample == 0:
+            plot_samples(state.gen_params, steps)
 
-            if steps > 0 and steps % t_cfg.interval_save == 0:
-                ckpt.save_periodic(state, steps, epoch)
+        if steps > 0 and steps % t_cfg.interval_save == 0:
+            ckpt.save_periodic(state, steps, epoch)
 
-            if steps >= t_cfg.max_steps or debug:
-                ckpt.save_final(state, epoch)
-                done_file = model_directory / ".done"
-                done_file.write_text(f"done: {time.time()}")
-                logging.info("Training finished at step %d (.done written)", steps)
-                writer.close()
-                return final_val
+        if steps >= t_cfg.max_steps or debug:
+            ckpt.save_final(state, epoch)
+            done_file = model_directory / ".done"
+            done_file.write_text(f"done: {time.time()}")
+            logging.info("Training finished at step %d (.done written)", steps)
+            writer.close()
+            return final_val
 
-            steps += 1
+        steps += 1
 
-        # Only reachable if the batch budget was exhausted before max_steps
-        # (cannot happen with a correct budget) — save and exit cleanly.
-        logging.warning("Batch pipeline exhausted at step %d before "
-                        "max_steps %d", steps, t_cfg.max_steps)
-        ckpt.save_final(state, epoch)
-        writer.close()
-        return final_val
+    # Only reachable if the batch budget was exhausted before max_steps
+    # (cannot happen with a correct budget) — save and exit cleanly.
+    logging.warning("Batch pipeline exhausted at step %d before "
+                    "max_steps %d", steps, t_cfg.max_steps)
+    ckpt.save_final(state, epoch)
+    writer.close()
+    return final_val
 
 
 def _drop_none(batch: Dict) -> Dict:
