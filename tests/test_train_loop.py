@@ -116,3 +116,48 @@ def test_explicit_checkpoint_path(corpus, tmp_path):
     assert ckpt.latest_periodic_tag() == "checkpoint-00000004"
     restored, _ = ckpt.restore(ckpt.latest_periodic_tag(), template)
     assert int(restored.step) == 5
+
+
+def test_preemption_checkpoint_and_resume(corpus, tmp_path):
+    """Failure detection e2e: SIGTERM mid-training saves a resumable
+    checkpoint and exits without .done; a resume run restores from it and
+    completes (SURVEY §5 — the reference can only resume from its last
+    periodic save)."""
+    import os
+    import signal as sig
+    import threading
+    import time as time_mod
+
+    cfg = tiny_cfg(corpus)
+    cfg.train.max_steps = 200            # far away: only SIGTERM ends run 1
+    cfg.train.interval_save = 10_000
+    cfg.train.interval_valid = 10_000
+    cfg.train.interval_log = 1
+    run_dir = tmp_path / "run"
+
+    def killer():
+        metrics = run_dir / "metrics.jsonl"
+        deadline = time_mod.time() + 600
+        while time_mod.time() < deadline:
+            if metrics.exists() and len(metrics.read_text().splitlines()) >= 10:
+                os.kill(os.getpid(), sig.SIGTERM)
+                return
+            time_mod.sleep(0.5)
+
+    thread = threading.Thread(target=killer)
+    thread.start()
+    train_gan.train(cfg, run_dir, resume=False, debug=False)
+    thread.join()
+
+    ckpt = CheckpointManager(run_dir)
+    tag = ckpt.latest_periodic_tag()
+    assert tag is not None, "no preemption checkpoint written"
+    assert not (run_dir / ".done").exists()
+    saved_step = int(tag.rsplit("-", 1)[1])
+
+    cfg2 = tiny_cfg(corpus)
+    cfg2.train.interval_valid = 10_000
+    cfg2.train.max_steps = saved_step + 2
+    train_gan.train(cfg2, run_dir, resume=True, debug=False)
+    assert (run_dir / ".done").exists()
+    assert (run_dir / "checkpoint-final").is_dir()
