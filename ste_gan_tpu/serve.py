@@ -223,6 +223,16 @@ class SynthesisService:
         return self.batcher.submit(feats, self.resolve_session(session),
                                    mode_idx)
 
+    def synthesize_stream(self, feats: np.ndarray, session,
+                          mode_idx: int = 0, chunk_frames: int = 64):
+        """Yield EMG chunks as they are synthesized (receptive-field-exact
+        chunking: interiors match the full-utterance result; see
+        ``EMGSynthesizer.synthesize_streaming``). Latency-oriented path —
+        bypasses the micro-batcher."""
+        yield from self._synth.synthesize_streaming(
+            np.asarray(feats, np.float32), self.resolve_session(session),
+            chunk_frames=chunk_frames, mode_idx=mode_idx)
+
     def warmup(self, num_frames: int = 64, batch_sizes=(1,)) -> None:
         """Pre-compile the (bucket, batch) programs the server will hit."""
         dim = self._synth.generator.speech_input_dim
@@ -269,28 +279,53 @@ def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
             else:
                 self._json(404, {"error": "not found"})
 
+        def _read_payload(self):
+            length = int(self.headers.get("Content-Length", 0))
+            payload = np.load(io.BytesIO(self.rfile.read(length)),
+                              allow_pickle=False)
+            feats = payload["feats"]
+            session = payload["session"].item() if "session" in payload else 0
+            mode = int(payload["mode"].item()) if "mode" in payload else 0
+            return feats, session, mode
+
         def do_POST(self):
-            if self.path != "/synthesize":
-                self._json(404, {"error": "not found"})
-                return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                payload = np.load(io.BytesIO(self.rfile.read(length)),
-                                  allow_pickle=False)
-                feats = payload["feats"]
-                session = payload["session"].item() if "session" in payload else 0
-                mode = int(payload["mode"].item()) if "mode" in payload else 0
-                emg = service.synthesize(feats, session, mode)
-                buf = io.BytesIO()
-                np.save(buf, emg)
-                data = buf.getvalue()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/octet-stream")
-                self.send_header("Content-Length", str(len(data)))
-                self.end_headers()
-                self.wfile.write(data)
+                if self.path == "/synthesize":
+                    feats, session, mode = self._read_payload()
+                    emg = service.synthesize(feats, session, mode)
+                    buf = io.BytesIO()
+                    np.save(buf, emg)
+                    data = buf.getvalue()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif self.path == "/synthesize_stream":
+                    # Length-prefixed f32 chunk frames: each chunk is
+                    # 8-byte big-endian byte count + raw float32 [n, C]
+                    # bytes; a zero length terminates the stream.
+                    feats, session, mode = self._read_payload()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.send_header("X-Emg-Channels", "8")
+                    self.end_headers()
+                    for chunk in service.synthesize_stream(feats, session,
+                                                           mode):
+                        raw = np.ascontiguousarray(chunk, np.float32).tobytes()
+                        self.wfile.write(len(raw).to_bytes(8, "big"))
+                        self.wfile.write(raw)
+                        self.wfile.flush()
+                    self.wfile.write((0).to_bytes(8, "big"))
+                else:
+                    self._json(404, {"error": "not found"})
             except Exception as exc:
-                self._json(400, {"error": f"{type(exc).__name__}: {exc}"})
+                try:
+                    self._json(400, {"error": f"{type(exc).__name__}: {exc}"})
+                except Exception:
+                    pass  # headers already sent mid-stream
 
     return ThreadingHTTPServer((host, port), Handler)
 

@@ -124,3 +124,37 @@ class TestHTTP:
         finally:
             server.shutdown()
             service.close()
+
+    def test_http_streaming_matches_full(self, small_synth, rng):
+        """/synthesize_stream: length-prefixed f32 chunks reassemble to the
+        full-utterance result (receptive-field-exact chunking)."""
+        service = SynthesisService(small_synth, {"s0": 0}, max_wait_ms=1.0,
+                                   bucket=16)
+        server = make_http_server(service, host="127.0.0.1", port=0)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            feats = rng.normal(size=(150, 256)).astype(np.float32)
+            buf = io.BytesIO()
+            np.savez(buf, feats=feats, session=np.asarray(0))
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/synthesize_stream",
+                data=buf.getvalue(), method="POST")
+            chunks = []
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                assert resp.status == 200
+                while True:
+                    n = int.from_bytes(resp.read(8), "big")
+                    if n == 0:
+                        break
+                    raw = resp.read(n)
+                    chunks.append(
+                        np.frombuffer(raw, np.float32).reshape(-1, 8))
+            assert len(chunks) > 1, "expected multiple streamed chunks"
+            got = np.concatenate(chunks)
+            want = small_synth.synthesize(feats, session_idx=0)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, atol=1e-4)
+        finally:
+            server.shutdown()
+            service.close()
