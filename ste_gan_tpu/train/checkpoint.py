@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import logging
 import re
+import shutil
 from pathlib import Path
 from typing import Any, Optional, Tuple
 
@@ -24,6 +25,7 @@ import jax
 import orbax.checkpoint as ocp
 
 _STEP_RE = re.compile(r"checkpoint-(\d+)$")
+_INFLIGHT_SUFFIX = ".inflight"
 
 
 class CheckpointManager:
@@ -31,10 +33,35 @@ class CheckpointManager:
         self.run_dir = Path(run_dir).resolve()
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        # (tmp_path, tag, epoch) of a background save not yet promoted.
+        self._pending: Optional[Tuple[Path, str, int]] = None
 
     # ------------------------------------------------------------------
     def _path(self, tag: str) -> Path:
         return self.run_dir / tag
+
+    def _finalize_pending(self) -> None:
+        """Wait for the in-flight background write, then atomically swap
+        it into its final tag and write meta.json. Until this point the
+        PREVIOUS checkpoint under the tag stays intact on disk, so a
+        crash mid-write never loses both copies (overwriting
+        ``checkpoint-last``/``best`` used to have a ~20 s window where
+        neither existed), and meta.json can never describe a checkpoint
+        whose data write later failed."""
+        self._ckptr.wait_until_finished()
+        if self._pending is None:
+            return
+        tmp, tag, epoch = self._pending
+        self._pending = None
+        if not tmp.is_dir():  # background write failed; old copy survives
+            logging.error("background checkpoint write for %r failed", tag)
+            return
+        final = self._path(tag)
+        if final.exists():
+            shutil.rmtree(final)
+        tmp.rename(final)
+        (self.run_dir / f"{tag}.meta.json").write_text(
+            json.dumps({"epoch": int(epoch)}))
 
     def save(self, tag: str, state: Any, epoch: int = 0,
              block: bool = True) -> None:
@@ -42,24 +69,30 @@ class CheckpointManager:
         device->host snapshot is taken (~0.3 s) and lets the disk write
         (~20 s for the full train state) proceed in Orbax's background
         thread, overlapped with training — safe with buffer donation
-        because the snapshot happens before returning. Any in-flight save
-        is finished first; Orbax's tmp-dir rename keeps partially-written
-        checkpoints invisible to resume."""
-        self._ckptr.wait_until_finished()
-        path = self._path(tag)
-        self._ckptr.save(path, state, force=True)
+        because the snapshot happens before returning. The write lands in
+        a ``<tag>.inflight`` temp dir and is promoted to ``<tag>`` (and
+        only then gets its meta.json) once it finishes — at the start of
+        the next save, or in :meth:`wait_until_finished`."""
+        self._finalize_pending()
+        tmp = self._path(f"{tag}{_INFLIGHT_SUFFIX}")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        self._ckptr.save(tmp, state, force=True)
+        self._pending = (tmp, tag, int(epoch))
         if block:
-            self._ckptr.wait_until_finished()
-        (self.run_dir / f"{tag}.meta.json").write_text(
-            json.dumps({"epoch": int(epoch)}))
+            self._finalize_pending()
 
     def wait_until_finished(self) -> None:
-        self._ckptr.wait_until_finished()
+        self._finalize_pending()
 
     def restore(self, tag: str, template: Any) -> Tuple[Any, int]:
         path = self._path(tag)
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
-        state = self._ckptr.restore(path, abstract)
+        try:
+            state = self._ckptr.restore(path, abstract)
+        except Exception as exc:
+            _reraise_with_flavor_hint(exc, path, template)
+            raise
         meta_path = self.run_dir / f"{tag}.meta.json"
         epoch = 0
         if meta_path.exists():
@@ -101,6 +134,77 @@ class CheckpointManager:
             return None
         logging.info("Resuming from checkpoint: %s", self._path(tag))
         return self.restore(tag, template)
+
+
+def _tree_keypaths(tree, prefix=()) -> set:
+    if isinstance(tree, dict):
+        out = set()
+        for k, v in tree.items():
+            out |= _tree_keypaths(v, prefix + (str(k),))
+        return out
+    return {prefix}
+
+
+def _opt_flavor(keypaths: set) -> str:
+    """Classify an optimizer-state subtree by its serialized key structure.
+
+    optax ``inject_hyperparams(adamw)`` nests per-leaf moments under
+    ``inner_state``; the flat single-buffer AdamW
+    (ops/flat_adamw.py::FlatAdamWState) stores single ``mu``/``nu``
+    buffers at the top level. The two layouts are checkpoint-incompatible
+    (ste_gan_tpu/train/gan.py make_optimizer NOTE)."""
+    tops = {kp[0] for kp in keypaths if kp}
+    if "inner_state" in tops:
+        return "optax"
+    if {"mu", "nu"} <= tops:
+        return "flat"
+    return "unknown"
+
+
+def _reraise_with_flavor_hint(exc: Exception, path: Path, template: Any) -> None:
+    """If a restore failure is explained by an optimizer-flavour mismatch
+    (flat vs optax AdamW state layouts), raise a loud, actionable error
+    instead of orbax's structural one. Otherwise return and let the
+    caller re-raise the original exception."""
+    try:
+        saved = ocp.StandardCheckpointer().metadata(path).item_metadata.tree
+        tmpl = jax.tree.map(lambda x: None, template)
+        tmpl_dict = (tmpl.__dict__ if hasattr(tmpl, "__dict__")
+                     else dict(tmpl) if isinstance(tmpl, dict) else None)
+        saved_dict = saved if isinstance(saved, dict) else None
+        if tmpl_dict is None or saved_dict is None:
+            return
+        for opt_key in ("opt_g", "opt_d", "opt_state"):
+            if opt_key not in saved_dict or opt_key not in tmpl_dict:
+                continue
+            saved_flavor = _opt_flavor(_tree_keypaths(saved_dict[opt_key]))
+            tmpl_flavor = _opt_flavor(_tree_keypaths(
+                jax.tree.map(lambda x: None, _to_plain(tmpl_dict[opt_key]))))
+            if ("unknown" not in (saved_flavor, tmpl_flavor)
+                    and saved_flavor != tmpl_flavor):
+                raise ValueError(
+                    f"checkpoint at {path} was written with the "
+                    f"'{saved_flavor}' AdamW optimizer flavour but the "
+                    f"current config expects '{tmpl_flavor}' "
+                    f"(cfg.train.flat_optimizer mismatch) — the two state "
+                    f"layouts are incompatible; resume with the same "
+                    f"optimizer flavour the run was started with"
+                ) from exc
+    except ValueError:
+        raise
+    except Exception:
+        return
+
+
+def _to_plain(tree):
+    """namedtuple/pytree -> nested dicts of Nones for key-structure sniffing."""
+    if hasattr(tree, "_asdict"):
+        return {k: _to_plain(v) for k, v in tree._asdict().items()}
+    if isinstance(tree, dict):
+        return {str(k): _to_plain(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return {str(i): _to_plain(v) for i, v in enumerate(tree)}
+    return None
 
 
 def restore_from_path(path: Path, template: Any) -> Tuple[Any, int]:

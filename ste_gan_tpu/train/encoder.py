@@ -245,13 +245,16 @@ def make_encoder_train_step(model, max_samples: int,
     optimizer = make_optimizer()
 
     def train_step(state: EncoderTrainState, batch, rng):
-        # ``rng`` may be a PRNGKey or a host integer seed. The seed form
-        # keeps all key derivation in-graph — a host-side
-        # jax.random.split per step is a standalone device dispatch
-        # (expensive through a remote-TPU tunnel).
-        if jnp.issubdtype(jnp.asarray(rng).dtype, jnp.integer):
-            rng = jax.random.fold_in(
-                jax.random.PRNGKey(C.RANDOM_SEED), jnp.asarray(rng))
+        # ``rng`` may be a PRNGKey (typed key or legacy uint32[2]) or a
+        # host integer seed. The seed form keeps all key derivation
+        # in-graph — a host-side jax.random.split per step is a
+        # standalone device dispatch (expensive through a remote-TPU
+        # tunnel). Legacy uint32[2] keys are integer-dtyped but ndim>0,
+        # so dispatch on (scalar AND integer), not dtype alone.
+        rng = jnp.asarray(rng)
+        if (not jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
+                and rng.ndim == 0 and jnp.issubdtype(rng.dtype, jnp.integer)):
+            rng = jax.random.fold_in(jax.random.PRNGKey(C.RANDOM_SEED), rng)
         rng_shift, rng_drop = jax.random.split(rng)
 
         def loss_fn(params):
@@ -384,7 +387,9 @@ def evaluate(model, eval_step, state: EncoderTrainState, dataset: EMGDataset,
 def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
                         output_directory: Path, debug: bool = False,
                         max_len: int = EC.TRAIN_BATCH_MAX_LEN,
-                        num_epochs: int = EC.NUM_EPOCHS) -> EncoderTrainState:
+                        num_epochs: int = EC.NUM_EPOCHS,
+                        warmup_steps: int = EC.LEARNING_RATE_WARMUP
+                        ) -> EncoderTrainState:
     output_directory = Path(output_directory)
     writer = MetricLogger(output_directory)
     model = init_emg_encoder(cfg)
@@ -478,7 +483,7 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
         # epoch end (a float() per step would serialize every dispatch).
         pending = []
         for batch in Prefetcher(_batches, 2):
-            lr = warmup_lr(batch_idx) * plateau.multiplier
+            lr = warmup_lr(batch_idx, warmup=warmup_steps) * plateau.multiplier
             state.opt_state.hyperparams["learning_rate"] = np.float32(lr)
             state, metrics = train_step(state, batch, batch_idx)
             pending.append((global_step + 1, metrics))
@@ -609,7 +614,8 @@ def main(args: argparse.Namespace) -> None:
 
     train_encoder_model(cfg, trainset, devset, output_directory,
                         debug=args.debug, max_len=args.max_batch_len,
-                        num_epochs=args.num_epochs)
+                        num_epochs=args.num_epochs,
+                        warmup_steps=args.warmup_steps)
     done_file.write_text("Done training.\n")
 
 
@@ -627,6 +633,10 @@ def parse_args() -> argparse.Namespace:
     parser.add_argument("--num_epochs", type=int, default=EC.NUM_EPOCHS)
     parser.add_argument("--max_batch_len", type=int, default=EC.TRAIN_BATCH_MAX_LEN,
                         help="Total EMG samples per packed batch.")
+    parser.add_argument("--warmup_steps", type=int,
+                        default=EC.LEARNING_RATE_WARMUP,
+                        help="Linear LR warmup batches (reference: 500; "
+                             "emg_encoder/constants.py:20).")
     return parser.parse_args()
 
 

@@ -118,7 +118,7 @@ def make_optimizer(cfg: Config):
         return _OptaxAdapter(fused_adamw(
             cfg.train.learning_rate, b1=cfg.train.adam_b1,
             b2=cfg.train.adam_b2, eps=1e-8, weight_decay=1e-2))
-    if getattr(cfg.train, "flat_optimizer", True):
+    if getattr(cfg.train, "flat_optimizer", False):
         return _FlatAdamW(cfg.train.learning_rate, cfg.train.adam_b1,
                           cfg.train.adam_b2)
     return _OptaxAdapter(optax.inject_hyperparams(optax.adamw)(

@@ -78,7 +78,8 @@ class TestFusedAdamW:
 
 
 class TestFlatAdamW:
-    """Flat single-buffer AdamW (ops/flat_adamw.py) — the trainer default."""
+    """Flat single-buffer AdamW (ops/flat_adamw.py) — an opt-in backend
+    (``cfg.train.flat_optimizer``); the trainer default is optax."""
 
     def test_matches_optax_over_steps(self, rng):
         from ste_gan_tpu.ops.flat_adamw import (
