@@ -28,7 +28,12 @@ def ste_gan_collate(
     emg_train_length: int = C.TRAIN_EMG_LENGTH,
     hopsize: int = C.HOPSIZE,
     rng: Optional[np.random.Generator] = None,
+    starts: Optional[np.ndarray] = None,
 ) -> Dict[str, np.ndarray]:
+    """``starts`` (train only): externally chosen per-item crop starts in
+    speech-unit frames — the multi-host loader derives them from
+    (seed, epoch, global item index) so crops are identical no matter how
+    the global batch is partitioned across hosts."""
     C.Partition.check(partition)
     length = emg_train_length // hopsize
 
@@ -43,11 +48,15 @@ def ste_gan_collate(
         [s[C.DataType.SPEAKING_MODE_INDEX] for s in batch], np.int32)
 
     if partition == "train":
-        if rng is None:
-            rng = np.random.default_rng()
-        starts = np.asarray([
-            rng.integers(0, 1 + max(0, len(u) - length)) for u in units_list],
-            np.int64)
+        if starts is None:
+            if rng is None:
+                rng = np.random.default_rng()
+            starts = np.asarray([
+                rng.integers(0, 1 + max(0, len(u) - length))
+                for u in units_list], np.int64)
+        else:
+            starts = np.asarray(starts, np.int64)
+            assert len(starts) == len(batch)
     elif partition == "valid":
         starts = np.zeros(len(batch), np.int64)
     else:  # test: single full-length utterance

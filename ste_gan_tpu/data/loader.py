@@ -55,7 +55,9 @@ class DataLoader:
         self.drop_last = drop_last
         self.process_index = process_index
         self.process_count = process_count
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
+        self._epoch = -1
 
     @property
     def local_batch_size(self) -> int:
@@ -84,13 +86,30 @@ class DataLoader:
         start = self.process_index * local
         return chunk[start:start + local]
 
+    def _crop_starts(self, global_indices: np.ndarray, items) -> np.ndarray:
+        """Per-item crop starts seeded by (seed, epoch, global index) —
+        host-count invariant: any partitioning of the global batch across
+        hosts crops every utterance identically, so N hosts reproduce the
+        single-host trajectory exactly (SURVEY §2.3)."""
+        frames = self.emg_train_length // self.hopsize
+        starts = np.empty(len(items), np.int64)
+        for row, (j, item) in enumerate(zip(global_indices, items)):
+            hi = 1 + max(0, len(item[C.DataType.SPEECH_UNITS]) - frames)
+            starts[row] = np.random.default_rng(
+                (self.seed, self._epoch, int(j))).integers(0, hi)
+        return starts
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        self._epoch += 1
         for chunk in self._index_batches():
-            items = [self.dataset[int(j)] for j in self._host_slice(chunk)]
+            local = self._host_slice(chunk)
+            items = [self.dataset[int(j)] for j in local]
+            starts = (self._crop_starts(local, items)
+                      if self.partition == "train" else None)
             yield ste_gan_collate(
                 items, partition=self.partition,
                 emg_train_length=self.emg_train_length,
-                hopsize=self.hopsize, rng=self._rng)
+                hopsize=self.hopsize, starts=starts)
 
 
 class Prefetcher:
