@@ -17,8 +17,10 @@ analogue for the TPU build:
 
       POST /synthesize   body: np.savez({feats[T,D] f32, session_id,
                          speaking_mode}) -> npy bytes of [16*T, C] EMG
+                         (503 + Retry-After when the bounded queue is full)
       GET  /healthz      liveness
-      GET  /stats        request/batch counters, latency summary
+      GET  /stats        counters + p50/p95/p99 latency, batch occupancy,
+                         queue depth, rejected count
 
 NumPy byte payloads (not JSON) keep the host path at memcpy speed; the
 dynamic batcher is what turns N concurrent RTF-0.007 requests into ~1
@@ -32,6 +34,7 @@ import json
 import queue
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -43,6 +46,12 @@ from ste_gan_tpu import constants as C
 
 def _round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
+
+
+class ServiceOverloadedError(RuntimeError):
+    """Raised by :meth:`MicroBatcher.submit` when the bounded request
+    queue is full — backpressure instead of silent unbounded growth. The
+    HTTP front-end maps it to 503 + Retry-After."""
 
 
 @dataclass
@@ -60,18 +69,25 @@ class MicroBatcher:
     """Coalesce concurrent synthesis requests into single device calls."""
 
     def __init__(self, synthesizer, max_batch: int = 8,
-                 max_wait_ms: float = 5.0, bucket: int = 64):
+                 max_wait_ms: float = 5.0, bucket: int = 64,
+                 max_queue: int = 64):
         self._synth = synthesizer
         self.max_batch = max(1, max_batch)
         self.max_wait = max_wait_ms / 1e3
         self.bucket = max(1, bucket)
-        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # Bounded queue = backpressure high-water mark: a burst beyond
+        # device throughput rejects instead of growing latency unbounded.
+        self._queue: "queue.Queue[_Request]" = queue.Queue(
+            maxsize=max(1, max_queue))
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self.stats = {
             "requests": 0, "batches": 0, "batched_requests": 0,
-            "max_batch_seen": 0, "latency_ms_sum": 0.0,
+            "max_batch_seen": 0, "latency_ms_sum": 0.0, "rejected": 0,
         }
+        # Recent-window reservoirs for percentile/occupancy reporting.
+        self._lat_ms = deque(maxlen=4096)
+        self._batch_sizes = deque(maxlen=4096)
         self._stats_lock = threading.Lock()
         self._thread.start()
 
@@ -82,10 +98,18 @@ class MicroBatcher:
 
         The default timeout tolerates a cold XLA compile of a new
         (bucket, batch) program (minutes through a remote-TPU tunnel);
-        warmed-up servers answer in milliseconds."""
+        warmed-up servers answer in milliseconds. Raises
+        :class:`ServiceOverloadedError` when the bounded queue is full."""
         req = _Request(np.asarray(feats, np.float32), int(session_idx),
                        int(mode_idx))
-        self._queue.put(req)
+        try:
+            self._queue.put_nowait(req)
+        except queue.Full:
+            with self._stats_lock:
+                self.stats["rejected"] += 1
+            raise ServiceOverloadedError(
+                f"request queue full ({self._queue.maxsize} pending); "
+                "retry later") from None
         if not req.done.wait(timeout):
             raise TimeoutError("synthesis request timed out")
         if req.error is not None:
@@ -148,8 +172,10 @@ class MicroBatcher:
                     s["batches"] += 1
                     s["batched_requests"] += len(batch) if len(batch) > 1 else 0
                     s["max_batch_seen"] = max(s["max_batch_seen"], len(batch))
-                    s["latency_ms_sum"] += sum(
-                        (now - r.enqueued_at) * 1e3 for r in batch)
+                    lats = [(now - r.enqueued_at) * 1e3 for r in batch]
+                    s["latency_ms_sum"] += sum(lats)
+                    self._lat_ms.extend(lats)
+                    self._batch_sizes.append(len(batch))
             except Exception as exc:  # propagate to every waiter
                 for r in batch:
                     r.error = exc
@@ -158,8 +184,18 @@ class MicroBatcher:
     def stats_snapshot(self) -> Dict:
         with self._stats_lock:
             s = dict(self.stats)
+            lats = np.asarray(self._lat_ms, np.float64)
+            sizes = np.asarray(self._batch_sizes, np.float64)
         s["mean_latency_ms"] = (s["latency_ms_sum"] / s["requests"]
                                 if s["requests"] else 0.0)
+        if len(lats):
+            p50, p95, p99 = np.percentile(lats, [50, 95, 99])
+            s.update(latency_ms_p50=float(p50), latency_ms_p95=float(p95),
+                     latency_ms_p99=float(p99))
+        if len(sizes):
+            s.update(batch_occupancy_mean=float(sizes.mean()),
+                     batch_occupancy_max=int(sizes.max()))
+        s["queue_depth"] = self._queue.qsize()
         return s
 
 
@@ -168,16 +204,17 @@ class SynthesisService:
 
     def __init__(self, synthesizer, session_id_to_idx: Dict[str, int],
                  max_batch: int = 8, max_wait_ms: float = 5.0,
-                 bucket: int = 64):
+                 bucket: int = 64, max_queue: int = 64):
         self.session_id_to_idx = dict(session_id_to_idx)
         self.batcher = MicroBatcher(synthesizer, max_batch=max_batch,
-                                    max_wait_ms=max_wait_ms, bucket=bucket)
+                                    max_wait_ms=max_wait_ms, bucket=bucket,
+                                    max_queue=max_queue)
         self._synth = synthesizer
 
     @classmethod
     def from_run_dir(cls, run_dir: Path, tag: str = "best",
                      max_batch: int = 8, max_wait_ms: float = 5.0,
-                     bucket: int = 64) -> "SynthesisService":
+                     bucket: int = 64, max_queue: int = 64) -> "SynthesisService":
         """Load config snapshot + checkpoint + session vocab from a GAN
         training run directory (the same layout scripts/generate_emg.py
         consumes)."""
@@ -207,7 +244,8 @@ class SynthesisService:
             session_id_to_idx = {v: int(k) for k, v in idx_to_id.items()}
         synth = EMGSynthesizer(models.generator, state.gen_params)
         return cls(synth, session_id_to_idx, max_batch=max_batch,
-                   max_wait_ms=max_wait_ms, bucket=bucket)
+                   max_wait_ms=max_wait_ms, bucket=bucket,
+                   max_queue=max_queue)
 
     # ------------------------------------------------------------------
     def resolve_session(self, session) -> int:
@@ -310,7 +348,9 @@ def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
                     self.send_response(200)
                     self.send_header("Content-Type",
                                      "application/octet-stream")
-                    self.send_header("X-Emg-Channels", "8")
+                    self.send_header(
+                        "X-Emg-Channels",
+                        str(service._synth.generator.num_emg_channels))
                     self.end_headers()
                     for chunk in service.synthesize_stream(feats, session,
                                                            mode):
@@ -321,6 +361,17 @@ def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
                     self.wfile.write((0).to_bytes(8, "big"))
                 else:
                     self._json(404, {"error": "not found"})
+            except ServiceOverloadedError as exc:
+                try:
+                    body = json.dumps({"error": str(exc)}).encode()
+                    self.send_response(503)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Retry-After", "1")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                except Exception:
+                    pass
             except Exception as exc:
                 try:
                     self._json(400, {"error": f"{type(exc).__name__}: {exc}"})
@@ -339,6 +390,8 @@ def main() -> None:
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
     ap.add_argument("--bucket", type=int, default=64)
+    ap.add_argument("--max_queue", type=int, default=64,
+                    help="backpressure high-water mark (503 beyond it)")
     args = ap.parse_args()
 
     from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
@@ -346,7 +399,8 @@ def main() -> None:
     enable_compilation_cache()
     service = SynthesisService.from_run_dir(
         args.run_dir, tag=args.tag, max_batch=args.max_batch,
-        max_wait_ms=args.max_wait_ms, bucket=args.bucket)
+        max_wait_ms=args.max_wait_ms, bucket=args.bucket,
+        max_queue=args.max_queue)
     print(f"warming up (bucket={args.bucket})...", flush=True)
     service.warmup(num_frames=args.bucket, batch_sizes=(1,))
     server = make_http_server(service, args.host, args.port)

@@ -77,6 +77,61 @@ class TestMicroBatcher:
         finally:
             batcher.close()
 
+    def test_overload_rejects_with_backpressure(self, small_synth, rng):
+        """A burst beyond the bounded queue raises ServiceOverloadedError
+        instead of growing the queue silently (VERDICT r2 weak #5), and the
+        rejection is counted in stats."""
+        from ste_gan_tpu.serve import ServiceOverloadedError
+
+        batcher = MicroBatcher(small_synth, max_batch=2, max_wait_ms=200.0,
+                               bucket=16, max_queue=2)
+        # Stall the worker so the queue cannot drain.
+        release = threading.Event()
+
+        class _SlowSynth:
+            def __init__(self, inner):
+                self._inner = inner
+
+            def __getattr__(self, name):
+                return getattr(self._inner, name)
+
+            def synthesize_padded(self, *args, **kwargs):
+                release.wait(30)
+                return self._inner.synthesize_padded(*args, **kwargs)
+
+        batcher._synth = _SlowSynth(small_synth)
+        import time
+
+        feats = rng.normal(size=(8, 256)).astype(np.float32)
+        errors, oks = [], []
+
+        def run():
+            try:
+                oks.append(batcher.submit(feats, 0, timeout=60))
+            except ServiceOverloadedError as exc:
+                errors.append(exc)
+
+        try:
+            threads = [threading.Thread(target=run) for _ in range(8)]
+            for t in threads:
+                t.start()
+                # Let each enqueue (or reject) before the next arrives.
+                time.sleep(0.05)
+            release.set()
+            for t in threads:
+                t.join(timeout=60)
+            assert errors, "no request was rejected despite a full queue"
+            assert len(oks) + len(errors) == 8
+            stats = batcher.stats_snapshot()
+            assert stats["rejected"] == len(errors)
+            # Percentile + occupancy reporting present once traffic flowed.
+            assert "latency_ms_p50" in stats
+            assert stats["latency_ms_p99"] >= stats["latency_ms_p50"]
+            assert stats["batch_occupancy_mean"] >= 1.0
+        finally:
+            release.set()
+            batcher.close()
+
 
 class TestService:
     def test_session_resolution_and_warmup(self, small_synth):
@@ -143,6 +198,10 @@ class TestHTTP:
             chunks = []
             with urllib.request.urlopen(req, timeout=300) as resp:
                 assert resp.status == 200
+                # Channel-count header reflects the loaded generator, not a
+                # hardcoded 8 (ADVICE r2).
+                assert (int(resp.headers["X-Emg-Channels"])
+                        == small_synth.generator.num_emg_channels)
                 while True:
                     n = int.from_bytes(resp.read(8), "big")
                     if n == 0:
