@@ -8,15 +8,36 @@ the ratio against the PyTorch reference measured on this machine's CPU
 (benchmarks/torch_cpu_baseline.json; target >= 10x).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+``--assert_floor`` (or STE_BENCH_ASSERT_FLOOR=1): after printing, exit
+non-zero if the measured TPU throughput is below the committed floor in
+benchmarks/perf_floor.json — the perf-regression gate; skipped off-TPU.
 """
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+
+def check_floor(value: float, platform: str, key: str) -> None:
+    """Exit(1) when a TPU measurement is below the committed floor."""
+    if platform == "cpu":
+        print(f"floor check skipped (platform={platform})", file=sys.stderr)
+        return
+    floor_path = (Path(__file__).resolve().parent
+                  / "benchmarks" / "perf_floor.json")
+    floor = json.loads(floor_path.read_text())[key]
+    if value < floor:
+        print(f"PERF REGRESSION: {key} = {value:.0f} < floor {floor:.0f} "
+              f"(benchmarks/perf_floor.json)", file=sys.stderr)
+        sys.exit(1)
+    print(f"floor check OK: {key} = {value:.0f} >= {floor:.0f}",
+          file=sys.stderr)
 
 
 def main() -> None:
@@ -101,6 +122,7 @@ def main() -> None:
         baseline = json.loads(baseline_path.read_text())
         vs_baseline = value * n_dev / baseline["emg_channel_samples_per_sec"]
 
+    platform = jax.devices()[0].platform
     print(json.dumps({
         "metric": "GAN train-step throughput",
         "value": round(value, 1),
@@ -109,9 +131,11 @@ def main() -> None:
         "sec_per_step": round(elapsed, 4),
         "compile_secs": round(compile_secs, 1),
         "devices": n_dev,
-        "platform": jax.devices()[0].platform,
+        "platform": platform,
         "loss_G": round(float(metrics["loss/generator"]), 3),
     }))
+    if "--assert_floor" in sys.argv or os.environ.get("STE_BENCH_ASSERT_FLOOR"):
+        check_floor(value, platform, "gan_step_ch_samples_per_sec")
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -36,6 +37,9 @@ from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--assert_floor", action="store_true",
+                    help="exit non-zero if below the committed TPU floor "
+                         "(benchmarks/perf_floor.json); skipped off-TPU")
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -92,15 +96,22 @@ def main():
     elapsed = (time.perf_counter() - start) / args.iters
 
     ch_samples = n_win * win * C.NUM_EMG_CHANNELS
+    value = ch_samples / elapsed
+    platform = jax.devices()[0].platform
     print(json.dumps({
         "metric": "encoder train-step throughput",
         "sec_per_step": round(elapsed, 4),
-        "emg_channel_samples_per_sec": round(ch_samples / elapsed, 1),
+        "emg_channel_samples_per_sec": round(value, 1),
         "windows": n_win, "window_samples": win,
         "compile_secs": round(compile_secs, 1),
-        "platform": jax.devices()[0].platform,
+        "platform": platform,
         "loss": round(float(metrics["loss"]), 4),
     }))
+    if args.assert_floor or os.environ.get("STE_BENCH_ASSERT_FLOOR"):
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from bench import check_floor
+
+        check_floor(value, platform, "encoder_step_ch_samples_per_sec")
 
 
 if __name__ == "__main__":
