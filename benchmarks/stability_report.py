@@ -37,7 +37,13 @@ def summarise(series) -> dict:
         vals = [v for _, v in series.get(tag, [])]
         if not vals:
             return None
-        return {"first": vals[0], "best": min(vals), "last": vals[-1],
+        # "best" is direction-aware: accuracy metrics are
+        # higher-is-better (round-2 verdict: min-as-best silently framed
+        # a degrading accuracy as improving).
+        higher_is_better = "accuracy" in tag
+        return {"first": vals[0],
+                "best": max(vals) if higher_is_better else min(vals),
+                "last": vals[-1], "min": min(vals),
                 "max": max(vals), "n": len(vals)}
 
     su = series.get("val/speech_unit", [])
@@ -56,18 +62,20 @@ def summarise(series) -> dict:
     return out
 
 
-def write_report(out_dir: Path, summary: dict) -> None:
+def write_report(out_dir: Path, summary: dict, title: str) -> None:
     su = summary["val_speech_unit"]
     g = summary["train_loss_generator"]
     d = summary["train_loss_discriminator"]
+    acc = summary["val_phoneme_accuracy_avg"]
+    ph = summary["val_phoneme"]
     lines = [
-        "# Long-horizon GAN training stability (round 2)",
+        f"# {title}",
         "",
         "One continuous run of the fused train step on the synthetic_large",
-        "corpus (512 train utterances, 8 sessions), full loss set, bf16,",
-        "per-epoch exponential LR decay, frozen pre-trained EMG encoder,",
-        "validation every 500 steps — the reference's protocol",
-        "(ste_gan/train.py:292-378) at 5,000 steps.",
+        "corpus (512 train utterances, 8 sessions, globally learnable",
+        "phoneme->EMG mapping), full loss set, bf16, per-epoch exponential",
+        "LR decay, frozen pre-trained EMG encoder, validation every 500",
+        "steps — the reference's protocol (ste_gan/train.py:292-378).",
         "",
         f"* steps: **{summary['steps']}**",
         f"* val speech-unit error: first {su['first']:.4f} -> "
@@ -75,9 +83,11 @@ def write_report(out_dir: Path, summary: dict) -> None:
         f"({100 * (1 - su['last'] / su['first']):.1f}% below step-0)",
         f"* val multi-TD error: first {summary['val_multi_td']['first']:.4f}"
         f" -> last {summary['val_multi_td']['last']:.4f}",
-        f"* val phoneme accuracy: first "
-        f"{summary['val_phoneme_accuracy_avg']['first']:.3f} -> last "
-        f"{summary['val_phoneme_accuracy_avg']['last']:.3f}",
+        f"* val phoneme loss: first {ph['first']:.4f} -> "
+        f"last {ph['last']:.4f}",
+        f"* val phoneme accuracy (higher is better): first "
+        f"{acc['first']:.2f}% -> best {acc['best']:.2f}% -> last "
+        f"{acc['last']:.2f}%",
         f"* G loss: first {g['first']:.3f}, last {g['last']:.3f}, "
         f"max {g['max']:.3f} (bounded, no divergence)",
         f"* D loss: first {d['first']:.3f}, last {d['last']:.3f}, "
@@ -93,7 +103,10 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--run_dir", type=Path, required=True)
     parser.add_argument("--out_dir", type=Path,
-                        default=Path(__file__).parent / "stability_r2")
+                        default=Path(__file__).parent / "stability_r3")
+    parser.add_argument("--title", type=str,
+                        default="Long-horizon GAN training at the full "
+                                "reference budget (round 3)")
     args = parser.parse_args()
 
     metrics_path = Path(args.run_dir)
@@ -106,7 +119,7 @@ def main() -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
     shutil.copyfile(metrics_path, out_dir / "metrics.jsonl")
     (out_dir / "summary.json").write_text(json.dumps(summary, indent=2))
-    write_report(out_dir, summary)
+    write_report(out_dir, summary, args.title)
     print(json.dumps({k: v for k, v in summary.items()
                       if k != "val_speech_unit_series"}, indent=2))
 

@@ -1,4 +1,4 @@
-"""Synthetic mini-corpus generator.
+"""Synthetic mini-corpus generator with a LEARNABLE cross-modal mapping.
 
 The reference never ships data (the Gaddy & Klein corpus must be downloaded
 and preprocessed), and it has no test fixtures at all. This module creates a
@@ -10,10 +10,27 @@ ETL guarantees (reference: scripts/prep_data_gaddy_and_klein.py:398-407):
 * EMG is tanh-bounded to [-1, 1] (reference :282-284),
 * utterance ids encode ``{session}__{name}__{speaking_mode}``.
 
-The signals are *correlated*: EMG channels are built from the speech-unit
-trajectory (plus phoneme-dependent tones and noise), so the encoder and GAN
-losses have real structure to learn — this makes loss-decrease integration
-tests meaningful rather than vacuous.
+The EMG <-> phoneme/speech-unit relationship is a FIXED GLOBAL mapping
+(round-3 redesign; the round-2 corpus drew fresh per-utterance anchor
+matrices, which made the cross-utterance mapping pure noise and capped
+encoder phoneme accuracy at chance):
+
+* every phoneme has a deterministic speech-unit anchor vector, a per-EMG-
+  channel amplitude signature in [0.15, 0.85], and a per-channel band-
+  limited carrier frequency in [30, 180] Hz;
+* an utterance's EMG channel c is ``gain[session, c] * A[p(t), c] *
+  sin(phase_c(t))`` with the carrier phase integrated through time (no
+  discontinuities at phoneme boundaries) plus small noise, tanh-squashed;
+* speech units are the phoneme anchors plus smoothed low-amplitude noise;
+  MFCCs are a fixed linear projection of the units at 2x the frame rate;
+* sessions differ by a deterministic per-channel gain in [0.75, 1.25]
+  (what the generator's session embedding must learn to compensate).
+
+So: an EMG encoder can decode phonemes/units from the amplitude+frequency
+signatures (well above chance), and a generator can synthesise EMG whose
+signatures the frozen encoder recognises — the full perceptual-loss
+pathway has real structure to learn, and validation metrics move the way
+the reference protocol expects (ste_gan/train.py:292-378).
 
 Artifacts are written as ``.npy`` under the reference's directory layout
 (``{split}/{emg,units,phonemes,mfccs,emg_feats}/{utt_id}.npy`` plus
@@ -21,12 +38,43 @@ Artifacts are written as ``.npy`` under the reference's directory layout
 """
 from __future__ import annotations
 
+from functools import lru_cache
 from pathlib import Path
 from typing import Dict
 
 import numpy as np
 
 from ste_gan_tpu import constants as C
+
+#: Seed namespace for the global (corpus-wide) phoneme/session mappings.
+#: Distinct from the per-utterance content seed so regenerating a corpus
+#: with a different ``seed`` keeps the SAME underlying mapping.
+MAP_SEED = 7321
+
+
+@lru_cache(maxsize=4)
+def global_maps(map_seed: int = MAP_SEED, num_channels: int = C.NUM_EMG_CHANNELS):
+    """Deterministic corpus-wide mappings (phoneme anchors/signatures,
+    MFCC projection). Cached; identical across utterances and splits."""
+    rng = np.random.default_rng(map_seed)
+    anchors = rng.normal(0.0, 1.0,
+                         size=(C.NUM_PHONEMES, C.SPEECH_UNITS_FEAT_SIZE))
+    # Per-phoneme, per-channel amplitude signature and carrier frequency.
+    amps = rng.uniform(0.15, 0.85, size=(C.NUM_PHONEMES, num_channels))
+    freqs = rng.uniform(30.0, 180.0, size=(C.NUM_PHONEMES, num_channels))
+    # 'sil' is quiet: tiny amplitude on every channel.
+    sil = C.PHONEME_INVENTORY.index("sil")
+    amps[sil] = 0.05
+    mfcc_mix = rng.normal(size=(C.SPEECH_UNITS_FEAT_SIZE, C.NUM_MFCCS))
+    mfcc_mix /= np.sqrt(C.SPEECH_UNITS_FEAT_SIZE)
+    return anchors, amps, freqs, mfcc_mix
+
+
+def session_gains(session_idx: int, num_channels: int = C.NUM_EMG_CHANNELS,
+                  map_seed: int = MAP_SEED) -> np.ndarray:
+    """Deterministic per-channel gain for a recording session."""
+    rng = np.random.default_rng((map_seed, 77, session_idx))
+    return rng.uniform(0.75, 1.25, size=num_channels)
 
 
 def _smooth(x: np.ndarray, window: int) -> np.ndarray:
@@ -48,6 +96,7 @@ def synth_utterance(rng: np.random.Generator, num_frames: int,
     exactly like real silent data. The EMG is built from a time-warped
     version of the target trajectory, so DTW alignment has real structure.
     """
+    anchors, amps, freqs, mfcc_mix = global_maps(num_channels=num_channels)
     hop = C.HOPSIZE
     num_emg = num_frames * hop
     if silent:
@@ -64,32 +113,32 @@ def synth_utterance(rng: np.random.Generator, num_frames: int,
         phonemes[pos:pos + seg] = int(rng.integers(0, C.NUM_PHONEMES))
         pos += seg
 
-    # Speech units: smooth per-phoneme anchors + low-pass noise.
-    anchors = rng.normal(0.0, 1.0, size=(C.NUM_PHONEMES, C.SPEECH_UNITS_FEAT_SIZE))
-    units = anchors[phonemes] + 0.25 * rng.normal(size=(num_target_frames, C.SPEECH_UNITS_FEAT_SIZE))
-    units = _smooth(units, 5).astype(np.float32)
+    # Speech units: GLOBAL per-phoneme anchors + smoothed low noise.
+    units = anchors[phonemes] + 0.15 * rng.normal(
+        size=(num_target_frames, C.SPEECH_UNITS_FEAT_SIZE))
+    units = _smooth(units, 3).astype(np.float32)
 
-    # MFCCs at 2x the unit rate, derived from the unit trajectory.
-    mix = rng.normal(size=(C.SPEECH_UNITS_FEAT_SIZE, C.NUM_MFCCS)) / np.sqrt(C.SPEECH_UNITS_FEAT_SIZE)
-    mfccs = np.repeat(units @ mix, 2, axis=0).astype(np.float32)
+    # MFCCs at 2x the unit rate via the fixed projection.
+    mfccs = np.repeat(units @ mfcc_mix, 2, axis=0).astype(np.float32)
     mfccs += 0.1 * rng.normal(size=mfccs.shape).astype(np.float32)
 
     # EMG trajectory at the utterance's own frame count (linear time-warp of
     # the target trajectory for silent utterances; identity for voiced).
     warp_idx = np.round(np.linspace(0, num_target_frames - 1,
                                     num_frames)).astype(np.int64)
-    warped_units = units[warp_idx]
     warped_phonemes = phonemes[warp_idx]
 
-    # EMG: per-channel mixture of (a) the upsampled unit energy envelope,
-    # (b) a phoneme-dependent tone, (c) session-dependent gain, (d) noise.
-    t = np.arange(num_emg) / C.EMG_SAMPLE_RATE
-    envelope = np.repeat(np.tanh(np.abs(warped_units[:, :num_channels])), hop, axis=0)
-    tone_freq = 40.0 + 12.0 * (np.repeat(warped_phonemes, hop) % 7)
-    tone = np.sin(2 * np.pi * tone_freq * t)[:, None]
-    gain = 0.6 + 0.05 * session_idx / max(1, C.NUM_EMG_SESSIONS)
-    noise = rng.normal(0.0, 0.15, size=(num_emg, num_channels))
-    emg = np.tanh(gain * envelope * tone + noise).astype(np.float32)
+    # EMG: per-channel phoneme signature carriers with continuous phase.
+    ph_per_sample = np.repeat(warped_phonemes, hop)          # [num_emg]
+    amp = amps[ph_per_sample]                                # [num_emg, C]
+    inst_freq = freqs[ph_per_sample]                         # [num_emg, C]
+    phase0 = rng.uniform(0, 2 * np.pi, size=num_channels)
+    phase = phase0[None, :] + (2 * np.pi / C.EMG_SAMPLE_RATE) * np.cumsum(
+        inst_freq, axis=0)
+    gain = session_gains(session_idx, num_channels)
+    noise = rng.normal(0.0, 0.05, size=(num_emg, num_channels))
+    emg = np.tanh(1.2 * gain[None, :] * amp * np.sin(phase)
+                  + noise).astype(np.float32)
 
     # Frame-level EMG features at 100 Hz (placeholder statistics with the
     # right shape: [frames_100hz, channels, 6]).
@@ -171,6 +220,14 @@ def main() -> None:
     ap.add_argument("--silent_fraction", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
+    # Regeneration must start clean: utterance ids encode the (seeded)
+    # session assignment, so a parameter change would otherwise leave
+    # stale files from the previous corpus mixed in.
+    root = Path(args.root)
+    if root.exists():
+        import shutil
+
+        shutil.rmtree(root)
     root = generate_synthetic_corpus(
         Path(args.root), num_train=args.num_train, num_valid=args.num_valid,
         num_test=args.num_test, num_sessions=args.num_sessions,

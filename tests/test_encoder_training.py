@@ -159,12 +159,17 @@ class TestMiniTraining:
                             speaking_mode_id_to_idx=train_ds.speaking_mode_id_to_idx)
         run_dir = tmp_path / "enc_run"
         train_encoder_model(cfg, train_ds, dev_ds, run_dir, debug=False,
-                            max_len=8000, num_epochs=3)
+                            max_len=8000, num_epochs=10, warmup_steps=10)
         assert (run_dir / "best_val_loss_model").is_dir()
         assert (run_dir / "last_model").is_dir()
-        # Loss decreased over training (from metrics.jsonl).
+        # Loss decreased over training (from metrics.jsonl). The first ~30
+        # steps sit deep inside the reference 500-step LR warmup
+        # (emg_encoder/constants.py:20), so compare epoch-scale means, not
+        # two single noisy steps.
         import json
         vals = [json.loads(line) for line in
                 (run_dir / "metrics.jsonl").read_text().splitlines()]
         train_losses = [v["value"] for v in vals if v["tag"] == "train/loss"]
-        assert train_losses[-1] < train_losses[0]
+        assert len(train_losses) >= 10
+        assert (np.mean(train_losses[-3:]) < np.mean(train_losses[:3])), \
+            train_losses

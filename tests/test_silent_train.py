@@ -154,7 +154,7 @@ def test_mixed_training_run(tmp_path):
     root = tmp_path / "corpus"
     generate_synthetic_corpus(root, num_train=10, num_valid=3, num_test=2,
                               num_sessions=2, min_frames=30, max_frames=50,
-                              seed=3, silent_fraction=0.4)
+                              seed=5, silent_fraction=0.4)
     trainset, devset, _ = init_mixed_datasets(root)
     assert any(m != C.SpeakingMode.NORMAL for m in trainset.speaking_mode_ids), \
         "fixture must contain silent utterances"
