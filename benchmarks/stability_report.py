@@ -47,6 +47,7 @@ def summarise(series) -> dict:
                 "max": max(vals), "n": len(vals)}
 
     su = series.get("val/speech_unit", [])
+    acc = series.get("val/phoneme_accuracy_avg", [])
     out = {
         "steps": max((s for vals in series.values() for s, _ in vals),
                      default=0),
@@ -58,6 +59,7 @@ def summarise(series) -> dict:
         "train_loss_generator": stats("train_loss/generator"),
         "train_loss_discriminator": stats("train_loss/discriminator"),
         "val_speech_unit_series": [[s, round(v, 5)] for s, v in su],
+        "val_phoneme_accuracy_series": [[s, round(v, 5)] for s, v in acc],
     }
     return out
 
@@ -71,11 +73,13 @@ def write_report(out_dir: Path, summary: dict, title: str) -> None:
     lines = [
         f"# {title}",
         "",
-        "One continuous run of the fused train step on the synthetic_large",
-        "corpus (512 train utterances, 8 sessions, globally learnable",
-        "phoneme->EMG mapping), full loss set, bf16, per-epoch exponential",
-        "LR decay, frozen pre-trained EMG encoder, validation every 500",
-        "steps — the reference's protocol (ste_gan/train.py:292-378).",
+        "One continuous CLI-trainer run on the synthetic_large corpus",
+        "(960 train utterances, 4 sessions, fixed global phoneme->EMG/SU",
+        "mapping — data/synthetic.py global_maps), full loss set, bf16,",
+        "per-epoch exponential LR decay, frozen pre-trained EMG encoder",
+        "(99.75% val phoneme accuracy after pre-training), validation every",
+        "500 steps — the reference's protocol (ste_gan/train.py:292-378)",
+        "at its full 25,000-step budget (configs/ste_gan_base_gantts.yaml).",
         "",
         f"* steps: **{summary['steps']}**",
         f"* val speech-unit error: first {su['first']:.4f} -> "

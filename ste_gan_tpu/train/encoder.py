@@ -388,7 +388,8 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
                         output_directory: Path, debug: bool = False,
                         max_len: int = EC.TRAIN_BATCH_MAX_LEN,
                         num_epochs: int = EC.NUM_EPOCHS,
-                        warmup_steps: int = EC.LEARNING_RATE_WARMUP
+                        warmup_steps: int = EC.LEARNING_RATE_WARMUP,
+                        save_interval_epochs: int = 1
                         ) -> EncoderTrainState:
     output_directory = Path(output_directory)
     writer = MetricLogger(output_directory)
@@ -457,6 +458,28 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
     batch_idx = 0
     global_step = 0
 
+    # Checkpoint saves D2H-transfer the whole param tree, which through the
+    # TPU tunnel costs ~14 s — far more than an epoch of compute on the dev
+    # corpus. Best params are therefore snapshotted ON DEVICE (one jitted
+    # copy dispatch) on every improvement, and flushed to disk only every
+    # ``save_interval_epochs`` epochs and at the end of training.
+    snap = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+    best_snapshot = None       # device-side {"params", "batch_stats"}
+    best_dirty = False         # snapshot newer than what's on disk
+    last_dirty = False
+
+    def flush_checkpoints(force: bool = False):
+        nonlocal best_dirty, last_dirty
+        if best_dirty and best_snapshot is not None:
+            save_pytree(output_directory / "best_val_loss_model",
+                        best_snapshot)
+            best_dirty = False
+        if last_dirty and (force or save_interval_epochs > 0):
+            save_pytree(output_directory / "last_model",
+                        {"params": state.params,
+                         "batch_stats": state.batch_stats})
+            last_dirty = False
+
     from ste_gan_tpu.data.loader import Prefetcher
 
     for epoch_idx in range(num_epochs):
@@ -513,16 +536,18 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
             phoneme_acc * 100, time.time() - epoch_start)
 
         if val < best_val_loss:
-            logging.info("Saving best encoder (val loss improved)")
-            save_pytree(output_directory / "best_val_loss_model",
-                        {"params": state.params, "batch_stats": state.batch_stats})
+            logging.info("Snapshotting best encoder (val loss improved)")
+            best_snapshot = snap({"params": state.params,
+                                  "batch_stats": state.batch_stats})
+            best_dirty = True
             best_val_loss = float(val)
             num_no_improvement = 0
         else:
             num_no_improvement += 1
+        last_dirty = True
 
-        save_pytree(output_directory / "last_model",
-                    {"params": state.params, "batch_stats": state.batch_stats})
+        if save_interval_epochs > 0 and (epoch_idx + 1) % save_interval_epochs == 0:
+            flush_checkpoints()
 
         if debug:
             logging.warning("debug: breaking epoch loop")
@@ -532,6 +557,7 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
                             num_no_improvement)
             break
 
+    flush_checkpoints(force=True)
     writer.close()
     return state
 
@@ -615,7 +641,8 @@ def main(args: argparse.Namespace) -> None:
     train_encoder_model(cfg, trainset, devset, output_directory,
                         debug=args.debug, max_len=args.max_batch_len,
                         num_epochs=args.num_epochs,
-                        warmup_steps=args.warmup_steps)
+                        warmup_steps=args.warmup_steps,
+                        save_interval_epochs=args.save_interval_epochs)
     done_file.write_text("Done training.\n")
 
 
@@ -637,6 +664,13 @@ def parse_args() -> argparse.Namespace:
                         default=EC.LEARNING_RATE_WARMUP,
                         help="Linear LR warmup batches (reference: 500; "
                              "emg_encoder/constants.py:20).")
+    parser.add_argument("--save_interval_epochs", type=int, default=1,
+                        help="Flush best/last checkpoints to disk every N "
+                             "epochs (best params are snapshotted on device "
+                             "each improvement regardless; the end of "
+                             "training always flushes). Through the TPU "
+                             "tunnel a disk save D2H-transfers the full "
+                             "tree (~14 s) — raise this for long runs.")
     return parser.parse_args()
 
 
