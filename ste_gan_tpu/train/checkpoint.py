@@ -33,8 +33,8 @@ class CheckpointManager:
         self.run_dir = Path(run_dir).resolve()
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
-        # (tmp_path, tag, epoch) of a background save not yet promoted.
-        self._pending: Optional[Tuple[Path, str, int]] = None
+        # (tmp_path, tag, meta_dict) of a background save not yet promoted.
+        self._pending: Optional[Tuple[Path, str, dict]] = None
 
     # ------------------------------------------------------------------
     def _path(self, tag: str) -> Path:
@@ -51,7 +51,7 @@ class CheckpointManager:
         self._ckptr.wait_until_finished()
         if self._pending is None:
             return
-        tmp, tag, epoch = self._pending
+        tmp, tag, meta = self._pending
         self._pending = None
         if not tmp.is_dir():  # background write failed; old copy survives
             logging.error("background checkpoint write for %r failed", tag)
@@ -60,11 +60,10 @@ class CheckpointManager:
         if final.exists():
             shutil.rmtree(final)
         tmp.rename(final)
-        (self.run_dir / f"{tag}.meta.json").write_text(
-            json.dumps({"epoch": int(epoch)}))
+        (self.run_dir / f"{tag}.meta.json").write_text(json.dumps(meta))
 
     def save(self, tag: str, state: Any, epoch: int = 0,
-             block: bool = True) -> None:
+             block: bool = True, extra_meta: Optional[dict] = None) -> None:
         """Save a checkpoint. ``block=False`` returns as soon as the
         device->host snapshot is taken (~0.3 s) and lets the disk write
         (~20 s for the full train state) proceed in Orbax's background
@@ -78,7 +77,8 @@ class CheckpointManager:
         if tmp.exists():
             shutil.rmtree(tmp)
         self._ckptr.save(tmp, state, force=True)
-        self._pending = (tmp, tag, int(epoch))
+        meta = {**(extra_meta or {}), "epoch": int(epoch)}
+        self._pending = (tmp, tag, meta)
         if block:
             self._finalize_pending()
 
@@ -111,8 +111,26 @@ class CheckpointManager:
     def save_last(self, state, epoch: int) -> None:
         self.save("checkpoint-last", state, epoch, block=False)
 
-    def save_best(self, state, epoch: int) -> None:
-        self.save("best", state, epoch, block=False)
+    def save_best(self, state, epoch: int,
+                  su_error: Optional[float] = None) -> None:
+        """``su_error`` is persisted in best.meta.json so a resumed run
+        initialises its best-so-far from the historical best instead of
+        +inf (which would let a worse later validation overwrite the best
+        checkpoint after any restart)."""
+        extra = {} if su_error is None else {"su_error": float(su_error)}
+        self.save("best", state, epoch, block=False, extra_meta=extra)
+
+    def best_su_error(self) -> float:
+        """Historical best validation speech-unit error recorded next to
+        the ``best`` checkpoint; +inf when absent."""
+        meta_path = self.run_dir / "best.meta.json"
+        if meta_path.exists() and self._path("best").is_dir():
+            try:
+                return float(json.loads(meta_path.read_text()).get(
+                    "su_error", float("inf")))
+            except (ValueError, json.JSONDecodeError):
+                return float("inf")
+        return float("inf")
 
     def latest_periodic_tag(self) -> Optional[str]:
         steps = []

@@ -55,6 +55,40 @@ from ste_gan_tpu.utils.profiling import StepTimer
 from ste_gan_tpu.utils.plotting import plot_real_vs_fake_emg_signal_with_envelope
 
 
+class HostMemoryRestart(RuntimeError):
+    """Raised by :func:`train` when the host-RSS watchdog trips: a blocking
+    resumable checkpoint has already been written; the caller should
+    restart the process and resume (``main`` exec-restarts with
+    ``--continue_run``). Exists as an exception (rather than an in-place
+    exec) so in-process callers — tests, notebooks — regain control."""
+
+    def __init__(self, step: int, rss_gb: float):
+        super().__init__(
+            f"host RSS {rss_gb:.1f} GiB over threshold at step {step}; "
+            "resumable checkpoint saved")
+        self.step = step
+        self.rss_gb = rss_gb
+
+
+def host_rss_gb() -> float:
+    """Resident set size of this process in GiB (0.0 where unsupported).
+
+    Exists because some PJRT transports leak host memory per H2D transfer
+    (the remote-TPU tunnel client here retains every transferred batch
+    buffer for the life of the process — measured ~4 MB leaked per 4 MB
+    device_put, unreclaimable by ``jax.clear_caches``), so long-horizon
+    trainers must bound their own lifetime. See
+    ``TrainConfig.host_rss_restart_gb``."""
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / (1024 ** 2)
+    except OSError:
+        pass
+    return 0.0
+
+
 def load_frozen_encoder(cfg: Config, models: GANModels,
                         emg_enc_ckpt: Optional[Path], rng: jax.Array):
     """Initialise the frozen perceptual encoder; restore from an Orbax
@@ -129,9 +163,11 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     synth = EMGSynthesizer(models.generator, state.gen_params, bucket=64)
     valid_dataset = valid_loader.dataset
 
-    best_su_loss = float("inf")
+    best_su_loss = ckpt.best_su_error()  # survives restarts (+inf if none)
     steps = int(state.step)
+    start_steps = steps
     t_cfg = cfg.train
+    rss_limit = float(getattr(t_cfg, "host_rss_restart_gb", 0.0) or 0.0)
     log_start = time.time()
     final_val: Dict[str, float] = {}
     step_timer = StepTimer(
@@ -290,6 +326,28 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
                 host.get("loss/discriminator", 0.0), ph_acc, ph_acc_ns)
             log_start = time.time()
 
+            # Host-RSS watchdog (see HostMemoryRestart / host_rss_gb): a
+            # restart only makes sense once this incarnation has advanced
+            # at least one validation interval — otherwise an over-budget
+            # baseline would thrash restarts forever.
+            if rss_limit > 0:
+                rss = host_rss_gb()
+                if rss > rss_limit:
+                    if steps - start_steps >= t_cfg.interval_valid:
+                        ckpt.save_periodic(state, steps, epoch, block=True)
+                        writer.scalar("train/host_rss_gb", rss, steps)
+                        writer.close()
+                        logging.warning(
+                            "Host RSS %.1f GiB > %.1f GiB — saved resumable "
+                            "checkpoint at step %d; restarting", rss,
+                            rss_limit, steps)
+                        raise HostMemoryRestart(steps, rss)
+                    logging.warning(
+                        "Host RSS %.1f GiB over the %.1f GiB restart "
+                        "threshold at startup — continuing (restart needs "
+                        ">=%d steps of progress)", rss, rss_limit,
+                        t_cfg.interval_valid)
+
         if steps % t_cfg.interval_valid == 0:
             val_start = time.time()
             val = run_validation(state.gen_params)
@@ -302,7 +360,7 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
                 best_su_loss = val["val/speech_unit"]
                 logging.info("New best val SU error %.4f — saving best",
                              best_su_loss)
-                ckpt.save_best(state, epoch)
+                ckpt.save_best(state, epoch, su_error=best_su_loss)
 
         if steps % t_cfg.interval_sample == 0:
             plot_samples(state.gen_params, steps)
@@ -363,10 +421,33 @@ def main(args: argparse.Namespace) -> None:
     from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
     enable_compilation_cache()
 
-    train(cfg, output_directory, resume=resume, debug=debug,
-          emg_enc_ckpt=args.emg_enc_ckpt or None,
-          profile_steps=args.profile_steps,
-          init_checkpoint=args.checkpoint)
+    try:
+        train(cfg, output_directory, resume=resume, debug=debug,
+              emg_enc_ckpt=args.emg_enc_ckpt or None,
+              profile_steps=args.profile_steps,
+              init_checkpoint=args.checkpoint)
+    except HostMemoryRestart as restart:
+        # The resumable checkpoint is already on disk; replace this leaked
+        # process with a fresh one that resumes from it (persistent compile
+        # cache makes the restart ~a restore + cache-hit compile).
+        import os
+
+        argv = [sys.executable, "-m", "ste_gan_tpu.train.train_gan",
+                *sys.argv[1:]]
+        if "--continue_run" not in argv:
+            argv.append("--continue_run")
+        if args.checkpoint is not None:
+            # Resume from the run dir's own latest checkpoint, not the
+            # original warm-start checkpoint, on subsequent incarnations.
+            if "--checkpoint" in argv:
+                idx = argv.index("--checkpoint")
+                del argv[idx:idx + 2]
+            else:
+                argv = [a for a in argv
+                        if not a.startswith("--checkpoint=")]
+        logging.warning("exec-restart after step %d: %s", restart.step,
+                        " ".join(argv))
+        os.execv(sys.executable, argv)
 
 
 def parse_args() -> argparse.Namespace:

@@ -161,3 +161,41 @@ def test_preemption_checkpoint_and_resume(corpus, tmp_path):
     train_gan.train(cfg2, run_dir, resume=True, debug=False)
     assert (run_dir / ".done").exists()
     assert (run_dir / "checkpoint-final").is_dir()
+
+
+def test_host_rss_watchdog_saves_and_raises(corpus, tmp_path):
+    """The host-RSS watchdog (TrainConfig.host_rss_restart_gb): when
+    process RSS exceeds the threshold after at least one validation
+    interval of progress, train() writes a blocking resumable checkpoint
+    and raises HostMemoryRestart (the CLI turns it into an exec-restart
+    with --continue_run); a resume run then completes normally. Guards the
+    25k-step production runs against the remote-tunnel client's per-
+    transfer host memory leak."""
+    cfg = tiny_cfg(corpus)
+    cfg.train.max_steps = 200          # far away: only the watchdog ends run 1
+    cfg.train.interval_save = 10_000
+    cfg.train.interval_valid = 2       # progress guard: >=2 steps
+    cfg.train.host_rss_restart_gb = 0.001  # any real process exceeds this
+    run_dir = tmp_path / "run"
+
+    with pytest.raises(train_gan.HostMemoryRestart) as exc_info:
+        train_gan.train(cfg, run_dir, resume=False, debug=False)
+    assert exc_info.value.step >= 2
+    assert exc_info.value.rss_gb > 0.001
+
+    ckpt = CheckpointManager(run_dir)
+    tag = ckpt.latest_periodic_tag()
+    assert tag is not None, "watchdog did not write a resumable checkpoint"
+    assert not (run_dir / ".done").exists()
+    saved_step = int(tag.rsplit("-", 1)[1])
+    assert saved_step == exc_info.value.step
+
+    # Historical best survives the restart: best.meta.json records the SU
+    # error, so the resumed run's best-so-far is not +inf.
+    assert np.isfinite(ckpt.best_su_error())
+
+    cfg2 = tiny_cfg(corpus)
+    cfg2.train.interval_valid = 10_000
+    cfg2.train.max_steps = saved_step + 2
+    train_gan.train(cfg2, run_dir, resume=True, debug=False)
+    assert (run_dir / ".done").exists()
