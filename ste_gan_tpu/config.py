@@ -135,6 +135,17 @@ class TrainConfig:
     pallas_grouped_conv: bool = False
     #: Host prefetch depth for the input pipeline.
     prefetch: int = 2
+    #: Train K steps per device dispatch via lax.scan over K stacked
+    #: batches (1 = off). Each dispatch through a remote-TPU tunnel pays
+    #: ~fixed RPC latency; grouping K steps amortises it K-fold (same
+    #: bytes transferred, K-fold fewer transfer+execute round trips).
+    #: Semantics: identical step math and counter cadence; groups never
+    #: span an epoch boundary (LR decay stays per-epoch-exact) nor
+    #: max_steps (runs still stop at exactly max_steps); interval_*
+    #: actions whose multiple falls inside a group run on the post-group
+    #: state, i.e. up to K-1 steps later than single-step mode. Prefer K
+    #: dividing the interval_* values and the corpus' steps-per-epoch.
+    steps_per_dispatch: int = 1
     #: Wire format for float training-batch features on the host->device
     #: path ("float16" | "float32"). f16 halves transfer bytes — measured
     #: 143 -> 70 ms/step end-to-end through the remote-TPU tunnel

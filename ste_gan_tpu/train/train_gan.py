@@ -160,6 +160,22 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
         acc = {k: acc[k] + metrics[f"count/{k}"] for k in acc}
         return state, metrics, acc
 
+    # K-step dispatch (train.steps_per_dispatch): lax.scan the fused step
+    # over K batches stacked on a leading axis — ONE transfer+execute RPC
+    # per K steps. The scan body compiles once, so compile time matches the
+    # single-step program. Per-step metrics come back stacked [K, ...] so
+    # interval_log can report the exact step its multiple lands on.
+    @partial(jax.jit, donate_argnums=(0, 3))
+    def train_step_k(state, stacked_batch, encoder_variables, acc):
+        def body(carry, batch):
+            state, acc = carry
+            state, metrics = raw_train_step(state, batch, encoder_variables)
+            acc = {k: acc[k] + metrics[f"count/{k}"] for k in acc}
+            return (state, acc), metrics
+        (state, acc), metrics_seq = jax.lax.scan(
+            body, (state, acc), stacked_batch)
+        return state, metrics_seq, acc
+
     synth = EMGSynthesizer(models.generator, state.gen_params, bucket=64)
     valid_dataset = valid_loader.dataset
 
@@ -244,19 +260,56 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
                     if getattr(v, "dtype", None) == np.float32 else v)
                 for k, v in batch.items()}
 
+    dispatch_k = max(1, int(getattr(t_cfg, "steps_per_dispatch", 1)))
+
     def _epoch_batches():
         # Bounded production so the prefetch thread terminates with the run.
-        budget = t_cfg.max_steps - steps + cfg.train.prefetch + 4
-        produced = 0
+        # Yields (epoch, k, device_batch): k == dispatch_k items carry K
+        # batches stacked on a leading axis for the scan path; k == 1 items
+        # are plain single batches (epoch tails whose length isn't a
+        # multiple of K, and the final approach to max_steps, so groups
+        # never straddle an epoch boundary or overshoot max_steps).
+        steps0 = steps  # freeze: the consumer mutates `steps` concurrently
+        budget = t_cfg.max_steps - steps0 + cfg.train.prefetch + 4
+        produced = 0  # consumer counter of the next batch = steps0 + produced
+        group: list = []
+
+        def flush(ep):
+            nonlocal group
+            pending, group = group, []
+            if len(pending) == dispatch_k:
+                stacked = {k: np.stack([b[k] for b in pending])
+                           for k in pending[0]}
+                yield ep, dispatch_k, shard_batch(mesh, stacked)
+            else:
+                for b in pending:
+                    yield ep, 1, shard_batch(mesh, b)
+
         for ep in itertools.count(start_epoch + 1):
             for host_batch in train_loader:
                 if produced >= budget:
+                    yield from flush(ep)
                     return
-                produced += 1
-                # shard_batch (async device_put) runs in the prefetch thread
-                # so transfer of batch k+1 overlaps step k's compute.
-                yield ep, shard_batch(
-                    mesh, _cast_for_transfer(_drop_none(host_batch)))
+                b = _cast_for_transfer(_drop_none(host_batch))
+                if dispatch_k == 1:
+                    produced += 1
+                    # shard_batch (async device_put) runs in the prefetch
+                    # thread so transfer of batch k+1 overlaps step k.
+                    yield ep, 1, shard_batch(mesh, b)
+                    continue
+                # Start a group only if a full one fits before max_steps
+                # (an already-started group keeps filling: its start was
+                # validated, and interleaving singles would reorder data).
+                if group or (steps0 + produced + dispatch_k - 1
+                             < t_cfg.max_steps):
+                    group.append(b)
+                    produced += 1
+                    if len(group) == dispatch_k:
+                        yield from flush(ep)
+                else:
+                    produced += 1
+                    yield ep, 1, shard_batch(mesh, b)
+            yield from flush(ep)  # epoch tail -> singles
 
     acc = {}
     epoch = start_epoch
@@ -283,46 +336,70 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
                          "num_correct_no_silence")}
 
     # Interval checks below use the PRE-increment step index, with
-    # ``steps += 1`` at the end of the loop body — matching the
+    # ``steps = last + 1`` at the end of the loop body — matching the
     # reference's cadence (ste_gan/train.py:275-468: checks fire on the
     # pre-increment counter, so step-0 logging/validation fires and
-    # step-indexed TensorBoard curves align with reference runs).
-    for batch_epoch, batch in Prefetcher(_epoch_batches, cfg.train.prefetch):
+    # step-indexed TensorBoard curves align with reference runs). A
+    # K-step dispatch covers counters [first, last]; an interval fires
+    # when one of its multiples lands in the group (on the post-group
+    # state — up to K-1 steps later than single-step mode).
+    for batch_epoch, k_steps, batch in Prefetcher(
+            _epoch_batches, cfg.train.prefetch):
         if batch_epoch != epoch or not acc:
             _begin_epoch(batch_epoch)
-        if profile_steps and steps == 10:
+        first, last = steps, steps + k_steps - 1
+
+        def fired(interval: int):
+            """Largest multiple of ``interval`` in [first, last]; None if
+            the group contains none."""
+            multiple = (last // interval) * interval
+            return multiple if multiple >= first else None
+
+        if profile_steps and first <= 10 <= last:
             jax.profiler.start_trace(str(model_directory / "profile"))
-        state, metrics, acc = train_step(state, batch, encoder_variables, acc)
-        if profile_steps and steps == 9 + profile_steps:
+        if k_steps == 1:
+            state, metrics, acc = train_step(
+                state, batch, encoder_variables, acc)
+            metrics_at = lambda step_i: metrics
+        else:
+            state, metrics_seq, acc = train_step_k(
+                state, batch, encoder_variables, acc)
+            metrics_at = lambda step_i: jax.tree.map(
+                lambda x: x[step_i - first], metrics_seq)
+            metrics = metrics_seq
+        if profile_steps and first <= 9 + profile_steps <= last:
             jax.block_until_ready(metrics)
             jax.profiler.stop_trace()
             logging.info("Wrote profiler trace to %s",
                          model_directory / "profile")
 
         if interrupted["flag"]:
-            ckpt.save_periodic(state, steps, epoch, block=True)
-            logging.warning("Preemption checkpoint at step %d; exiting", steps)
+            ckpt.save_periodic(state, last, epoch, block=True)
+            logging.warning("Preemption checkpoint at step %d; exiting", last)
             writer.close()
             return final_val
 
-        if steps % t_cfg.interval_log == 0:
-            host = {k: float(v) for k, v in metrics.items()
+        log_step = fired(t_cfg.interval_log)
+        if log_step is not None:
+            host = {k: float(v) for k, v in metrics_at(log_step).items()
                     if k.startswith("loss/")}
-            writer.scalars({f"train_{k}": v for k, v in host.items()}, steps)
+            writer.scalars({f"train_{k}": v for k, v in host.items()},
+                           log_step)
             acc_host = {k: int(v) for k, v in acc.items()}
             ph_acc = phoneme_accuracy(acc_host["num_phones"],
                                       acc_host["num_correct"])
             ph_acc_ns = phoneme_accuracy_no_silence(
                 acc_host["num_phones"], acc_host["num_correct_no_silence"],
                 acc_host["num_silence"])
-            writer.scalar("train_loss/phoneme_accuracy_avg", ph_acc, steps)
-            writer.scalar("train_loss/phoneme_accuracy_avg_no_sil", ph_acc_ns, steps)
-            writer.scalars(step_timer.update(steps), steps)
+            writer.scalar("train_loss/phoneme_accuracy_avg", ph_acc, log_step)
+            writer.scalar("train_loss/phoneme_accuracy_avg_no_sil", ph_acc_ns,
+                          log_step)
+            writer.scalars(step_timer.update(last), log_step)
             ms_per_batch = 1e3 * (time.time() - log_start) / t_cfg.interval_log
             logging.info(
                 "Epoch %d | Steps %d | ms/batch %5.2f | G %.4f | D %.4f | "
                 "Ph.Acc %.2f | Ph.Acc(no sil) %.2f",
-                epoch, steps, ms_per_batch, host.get("loss/generator", 0.0),
+                epoch, log_step, ms_per_batch, host.get("loss/generator", 0.0),
                 host.get("loss/discriminator", 0.0), ph_acc, ph_acc_ns)
             log_start = time.time()
 
@@ -333,27 +410,28 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
             if rss_limit > 0:
                 rss = host_rss_gb()
                 if rss > rss_limit:
-                    if steps - start_steps >= t_cfg.interval_valid:
-                        ckpt.save_periodic(state, steps, epoch, block=True)
-                        writer.scalar("train/host_rss_gb", rss, steps)
+                    if last - start_steps >= t_cfg.interval_valid:
+                        ckpt.save_periodic(state, last, epoch, block=True)
+                        writer.scalar("train/host_rss_gb", rss, last)
                         writer.close()
                         logging.warning(
                             "Host RSS %.1f GiB > %.1f GiB — saved resumable "
                             "checkpoint at step %d; restarting", rss,
-                            rss_limit, steps)
-                        raise HostMemoryRestart(steps, rss)
+                            rss_limit, last)
+                        raise HostMemoryRestart(last, rss)
                     logging.warning(
                         "Host RSS %.1f GiB over the %.1f GiB restart "
                         "threshold at startup — continuing (restart needs "
                         ">=%d steps of progress)", rss, rss_limit,
                         t_cfg.interval_valid)
 
-        if steps % t_cfg.interval_valid == 0:
+        val_step = fired(t_cfg.interval_valid)
+        if val_step is not None:
             val_start = time.time()
             val = run_validation(state.gen_params)
             final_val = val
-            writer.scalars(val, steps)
-            logging.info("Validation @ %d: %s (%.2fs)", steps,
+            writer.scalars(val, val_step)
+            logging.info("Validation @ %d: %s (%.2fs)", val_step,
                          {k: round(v, 4) for k, v in val.items()},
                          time.time() - val_start)
             if val["val/speech_unit"] < best_su_loss:
@@ -362,21 +440,26 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
                              best_su_loss)
                 ckpt.save_best(state, epoch, su_error=best_su_loss)
 
-        if steps % t_cfg.interval_sample == 0:
-            plot_samples(state.gen_params, steps)
+        sample_step = fired(t_cfg.interval_sample)
+        if sample_step is not None:
+            plot_samples(state.gen_params, sample_step)
 
-        if steps > 0 and steps % t_cfg.interval_save == 0:
-            ckpt.save_periodic(state, steps, epoch)
+        # The tag carries the step the STATE is at (`last`); in single-step
+        # mode that equals the fired multiple, in group mode it may sit up
+        # to K-1 past it (resume reads the true counter from state.step).
+        save_step = fired(t_cfg.interval_save)
+        if save_step is not None and save_step > 0:
+            ckpt.save_periodic(state, last, epoch)
 
-        if steps >= t_cfg.max_steps or debug:
+        if last >= t_cfg.max_steps or debug:
             ckpt.save_final(state, epoch)
             done_file = model_directory / ".done"
             done_file.write_text(f"done: {time.time()}")
-            logging.info("Training finished at step %d (.done written)", steps)
+            logging.info("Training finished at step %d (.done written)", last)
             writer.close()
             return final_val
 
-        steps += 1
+        steps = last + 1
 
     # Only reachable if the batch budget was exhausted before max_steps
     # (cannot happen with a correct budget) — save and exit cleanly.

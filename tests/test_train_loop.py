@@ -199,3 +199,37 @@ def test_host_rss_watchdog_saves_and_raises(corpus, tmp_path):
     cfg2.train.max_steps = saved_step + 2
     train_gan.train(cfg2, run_dir, resume=True, debug=False)
     assert (run_dir / ".done").exists()
+
+
+def test_steps_per_dispatch_matches_single_step(corpus, tmp_path):
+    """K-step dispatch (train.steps_per_dispatch: lax.scan over K stacked
+    batches, one device dispatch per K steps) produces the same training
+    trajectory as single-step mode: same data order, same step math, same
+    run-dir protocol. Epochs on this corpus are 2 steps (8 utts / batch 4),
+    so K=2 exercises full groups AND the epoch-boundary flush; max_steps=5
+    exercises the no-group-past-max_steps tail singles."""
+    import jax
+
+    base = tiny_cfg(corpus)
+    base.train.max_steps = 5
+    base.train.interval_valid = 4
+    base.train.interval_save = 4
+
+    runs = {}
+    for k in (1, 2):
+        cfg = tiny_cfg(corpus)
+        cfg.train.max_steps = 5
+        cfg.train.interval_valid = 4
+        cfg.train.interval_save = 4
+        cfg.train.steps_per_dispatch = k
+        run_dir = tmp_path / f"run_k{k}"
+        val = train_gan.train(cfg, run_dir, resume=False, debug=False)
+        assert (run_dir / ".done").exists()
+        ckpt = CheckpointManager(run_dir)
+        assert ckpt.latest_periodic_tag() is not None
+        runs[k] = val
+
+    for key in runs[1]:
+        np.testing.assert_allclose(
+            runs[2][key], runs[1][key], rtol=2e-3, atol=1e-4,
+            err_msg=f"{key} diverged between K=2 and K=1 dispatch")
