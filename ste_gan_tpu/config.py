@@ -145,6 +145,9 @@ class TrainConfig:
     #: actions whose multiple falls inside a group run on the post-group
     #: state, i.e. up to K-1 steps later than single-step mode. Prefer K
     #: dividing the interval_* values and the corpus' steps-per-epoch.
+    #: Measured on the chip: ~207 -> ~140 ms/step end-to-end at K=10
+    #: (1.5x; PARITY.md). Under bf16 the scan schedule makes trajectories
+    #: statistically equivalent, not bit-identical, over long horizons.
     steps_per_dispatch: int = 1
     #: Wire format for float training-batch features on the host->device
     #: path ("float16" | "float32"). f16 halves transfer bytes — measured
