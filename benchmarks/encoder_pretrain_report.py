@@ -26,6 +26,9 @@ def main() -> None:
     parser.add_argument("--run_dir", type=Path, required=True)
     parser.add_argument("--out_dir", type=Path,
                         default=Path(__file__).parent / "stability_r3")
+    parser.add_argument("--out_name", type=str, default="encoder_pretrain.json",
+                        help="Artifact filename (e.g. encoder_mixed.json for "
+                             "the mixed voiced+silent training demo).")
     args = parser.parse_args()
 
     metrics_path = Path(args.run_dir)
@@ -53,8 +56,7 @@ def main() -> None:
     }
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    (out_dir / "encoder_pretrain.json").write_text(
-        json.dumps(summary, indent=2))
+    (out_dir / args.out_name).write_text(json.dumps(summary, indent=2))
     print(json.dumps({k: v for k, v in summary.items()
                       if not k.endswith("_series")}, indent=2))
 

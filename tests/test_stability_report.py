@@ -120,3 +120,19 @@ def test_accuracy_series_sustained_improvement(summary):
     series = [v for _, v in summary["val_phoneme_accuracy_series"]]
     q = max(len(series) // 4, 1)
     assert sum(series[-q:]) / q > sum(series[:q]) / q
+
+
+def test_mixed_silent_training_learns():
+    """Mixed voiced+silent encoder training (25%-silent corpus, the in-jit
+    DTW-aligned silent loss active every batch) reaches near-perfect val
+    phoneme accuracy — the silent pathway trains alongside voiced without
+    destabilising (reference intent: ste_gan/emg_encoder/train.py silent
+    branch; artifact from benchmarks/encoder_pretrain_report.py
+    --out_name encoder_mixed.json)."""
+    path = ART / "encoder_mixed.json"
+    if not path.exists():
+        pytest.skip("mixed-training artifacts not yet generated")
+    mixed = json.loads(path.read_text())
+    assert mixed["val_phoneme_accuracy_first"] < 0.10
+    assert mixed["val_phoneme_accuracy_last"] > 0.50
+    assert mixed["val_loss_last"] < 0.5 * mixed["val_loss_first"]
