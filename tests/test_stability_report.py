@@ -136,3 +136,18 @@ def test_mixed_silent_training_learns():
     assert mixed["val_phoneme_accuracy_first"] < 0.10
     assert mixed["val_phoneme_accuracy_last"] > 0.50
     assert mixed["val_loss_last"] < 0.5 * mixed["val_loss_first"]
+
+
+def test_synthesis_quality_closes_the_loop():
+    """The product loop: speech features -> generated EMG (production
+    bucketed inference, trained 25k model) -> frozen encoder decodes the
+    GENERATED signal -> phonemes match ground truth on full-length test
+    utterances (benchmarks/synthesis_quality.py)."""
+    path = ART / "synthesis_quality.json"
+    if not path.exists():
+        pytest.skip("synthesis-quality artifacts not yet generated")
+    q = json.loads(path.read_text())
+    assert q["total_frames"] > 1_000
+    assert q["phoneme_accuracy"] > 0.90
+    assert q["phoneme_accuracy"] > 10 * q["chance_accuracy"]
+    assert q["su_l1"] < 0.5
