@@ -157,6 +157,18 @@ class TrainConfig:
     #: upcast to f32 on device. Validation batches stay f32 (metric
     #: fidelity). Set "float32" for bit-exact input parity runs.
     transfer_dtype: str = "float16"
+    #: Device-resident training corpus (data/device_corpus.py): upload the
+    #: whole padded train split to HBM once at startup, then per step ship
+    #: only [B] int32 crop descriptors (rows + starts) and gather the
+    #: static-shape crops INSIDE the jitted step. Removes the per-step
+    #: ~10 MB H2D transfer entirely — the end-to-end bottleneck AND the
+    #: host-RSS leak source through the remote-TPU tunnel (see
+    #: host_rss_restart_gb). Crop/shuffle semantics are example-identical
+    #: to the host pipeline (IndexLoader reuses the loader's seeded state);
+    #: float data is stored at transfer_dtype, so trajectories match the
+    #: host pipeline at equal transfer_dtype. Requires the train split to
+    #: fit in HBM (a few GB for the full Gaddy & Klein voiced subset).
+    device_resident_data: bool = False
     #: Host-RSS watchdog (GiB; <=0 disables). Some PJRT transports retain a
     #: host copy of every H2D transfer for the life of the process (the
     #: remote-TPU tunnel client in this image leaks ~the full batch per

@@ -86,15 +86,18 @@ class DataLoader:
         start = self.process_index * local
         return chunk[start:start + local]
 
-    def _crop_starts(self, global_indices: np.ndarray, items) -> np.ndarray:
+    def _crop_starts(self, global_indices: np.ndarray,
+                     unit_lengths) -> np.ndarray:
         """Per-item crop starts seeded by (seed, epoch, global index) —
         host-count invariant: any partitioning of the global batch across
         hosts crops every utterance identically, so N hosts reproduce the
-        single-host trajectory exactly (SURVEY §2.3)."""
+        single-host trajectory exactly (SURVEY §2.3). ``unit_lengths`` are
+        the items' speech-unit frame counts (so the index-only
+        device-resident path draws identical starts without loading items)."""
         frames = self.emg_train_length // self.hopsize
-        starts = np.empty(len(items), np.int64)
-        for row, (j, item) in enumerate(zip(global_indices, items)):
-            hi = 1 + max(0, len(item[C.DataType.SPEECH_UNITS]) - frames)
+        starts = np.empty(len(global_indices), np.int64)
+        for row, (j, n) in enumerate(zip(global_indices, unit_lengths)):
+            hi = 1 + max(0, int(n) - frames)
             starts[row] = np.random.default_rng(
                 (self.seed, self._epoch, int(j))).integers(0, hi)
         return starts
@@ -104,8 +107,9 @@ class DataLoader:
         for chunk in self._index_batches():
             local = self._host_slice(chunk)
             items = [self.dataset[int(j)] for j in local]
-            starts = (self._crop_starts(local, items)
-                      if self.partition == "train" else None)
+            starts = (self._crop_starts(
+                local, [len(it[C.DataType.SPEECH_UNITS]) for it in items])
+                if self.partition == "train" else None)
             yield ste_gan_collate(
                 items, partition=self.partition,
                 emg_train_length=self.emg_train_length,

@@ -143,10 +143,43 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     train_loader, valid_loader, _ = loaders_via_config(cfg)
     train_loader.dataset.save_session_and_speaking_mode_mapping_json(model_directory)
 
+    t_cfg = cfg.train
+    # float16 wire format for train batches: the host->device transfer is
+    # the end-to-end bottleneck (81 ms/batch f32 vs 25 ms f16 through the
+    # tunnel; benchmarks/input_pipeline_probe.py) — losses upcast on device.
+    transfer_dtype = (np.float16 if t_cfg.transfer_dtype == "float16"
+                      else np.float32)
+
+    # Device-resident corpus (TrainConfig.device_resident_data): upload the
+    # padded train split to HBM once; per step only [B] int32 crop
+    # descriptors cross the wire and the jitted step gathers the crops
+    # on-device (data/device_corpus.py).
+    device_corpus = None
+    if getattr(t_cfg, "device_resident_data", False):
+        from ste_gan_tpu.data.device_corpus import DeviceCorpus, IndexLoader
+        from ste_gan_tpu.parallel.mesh import replicate_sharding
+
+        device_corpus = DeviceCorpus.from_dataset(
+            train_loader.dataset, emg_train_length=t_cfg.chunk_size,
+            float_dtype=(jnp.float16 if transfer_dtype == np.float16
+                         else jnp.float32),
+            sharding=replicate_sharding(mesh))
+        train_loader = IndexLoader(train_loader, device_corpus.unit_lengths)
+        logging.info(
+            "Device-resident corpus: %d utterances, %.1f MB in HBM — "
+            "per-step H2D reduced to [B] int32 crop descriptors",
+            len(device_corpus.unit_lengths), device_corpus.nbytes / 2**20)
+
     state = replicate(mesh, state)
     encoder_variables = replicate(mesh, encoder_variables)
 
     raw_train_step = make_train_step(cfg, models)
+    if device_corpus is not None:
+        inner_step = raw_train_step
+
+        def raw_train_step(state, batch, encoder_variables):  # noqa: F811
+            full = device_corpus.gather(batch["rows"], batch["starts"])
+            return inner_step(state, full, encoder_variables)
     eval_step = jax.jit(make_eval_step(cfg, models))
 
     # ONE dispatch per step: the epoch phoneme-counter accumulation rides
@@ -182,7 +215,6 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     best_su_loss = ckpt.best_su_error()  # survives restarts (+inf if none)
     steps = int(state.step)
     start_steps = steps
-    t_cfg = cfg.train
     rss_limit = float(getattr(t_cfg, "host_rss_restart_gb", 0.0) or 0.0)
     log_start = time.time()
     final_val: Dict[str, float] = {}
@@ -247,12 +279,6 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     # so per-epoch semantics stay exact: every step of epoch e runs with
     # lr(e) (applied when the consumer first sees e), counters reset at the
     # boundary, '-last' saves fire on the boundary.
-    # float16 wire format for train batches: the host->device transfer is
-    # the end-to-end bottleneck (81 ms/batch f32 vs 25 ms f16 through the
-    # tunnel; benchmarks/input_pipeline_probe.py) — losses upcast on device.
-    transfer_dtype = (np.float16 if t_cfg.transfer_dtype == "float16"
-                      else np.float32)
-
     def _cast_for_transfer(batch: Dict) -> Dict:
         if transfer_dtype == np.float32:
             return batch
