@@ -429,12 +429,14 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
                 host.get("loss/discriminator", 0.0), ph_acc, ph_acc_ns)
             log_start = time.time()
 
+            rss = host_rss_gb()
+            writer.scalar("train/host_rss_gb", rss, log_step)
+
             # Host-RSS watchdog (see HostMemoryRestart / host_rss_gb): a
             # restart only makes sense once this incarnation has advanced
             # at least one validation interval — otherwise an over-budget
             # baseline would thrash restarts forever.
             if rss_limit > 0:
-                rss = host_rss_gb()
                 if rss > rss_limit:
                     if last - start_steps >= t_cfg.interval_valid:
                         ckpt.save_periodic(state, last, epoch, block=True)
