@@ -43,7 +43,8 @@ from ste_gan_tpu.models.emg_encoder import init_emg_encoder
 from ste_gan_tpu.ops.dtw import dtw_alignment
 from ste_gan_tpu.train.checkpoint import save_pytree
 from ste_gan_tpu.train.encoder_data import (
-    SizeAwareSampler, fold_encoder_batch, windows_needed)
+    EncoderDeviceCorpus, SizeAwareSampler, fold_encoder_batch,
+    windows_needed)
 from ste_gan_tpu.utils.logging_utils import MetricLogger, setup_run_logging
 
 
@@ -389,8 +390,16 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
                         max_len: int = EC.TRAIN_BATCH_MAX_LEN,
                         num_epochs: int = EC.NUM_EPOCHS,
                         warmup_steps: int = EC.LEARNING_RATE_WARMUP,
-                        save_interval_epochs: int = 1
+                        save_interval_epochs: int = 1,
+                        device_resident_data: bool = True,
+                        transfer_dtype: str = "float16",
                         ) -> EncoderTrainState:
+    """``device_resident_data`` keeps the train split in device memory and
+    folds batches on-device from {rows, num_samples} descriptors
+    (EncoderDeviceCorpus) — the encoder-trainer counterpart of the GAN
+    trainer's TrainConfig.device_resident_data. ``transfer_dtype``
+    ("float16" | "float32") sets the float precision of training inputs on
+    either path (f16 = the validated wire/storage default)."""
     output_directory = Path(output_directory)
     writer = MetricLogger(output_directory)
     model = init_emg_encoder(cfg)
@@ -444,10 +453,29 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
         batch_stats=variables["batch_stats"],
         opt_state=optimizer.init(variables["params"]))
 
-    train_step = jax.jit(
-        make_encoder_train_step(model, max_samples,
-                                silent_pred_frames=silent_pred_frames),
-        donate_argnums=0)
+    np_float = np.float16 if transfer_dtype == "float16" else np.float32
+    base_step = make_encoder_train_step(model, max_samples,
+                                        silent_pred_frames=silent_pred_frames)
+    device_corpus = None
+    if device_resident_data:
+        device_corpus = EncoderDeviceCorpus(
+            trainset, float_dtype=(jnp.float16 if np_float == np.float16
+                                   else jnp.float32))
+        logging.info(
+            "Device-resident corpus: %d utterances, %.1f MB in device "
+            "memory — per-batch H2D reduced to {rows, num_samples}",
+            len(trainset), device_corpus.nbytes / 2**20)
+
+        def step_with_fold(state, idx, rng):
+            batch = device_corpus.fold(
+                idx["rows"], idx["num_samples"], n_win=n_win,
+                max_samples=max_samples, max_silent=max_silent,
+                silent_target_frames=silent_target_frames)
+            return base_step(state, batch, rng)
+
+        train_step = jax.jit(step_with_fold, donate_argnums=0)
+    else:
+        train_step = jax.jit(base_step, donate_argnums=0)
     eval_step = jax.jit(make_encoder_eval_step(model, max_samples))
 
     sampler = SizeAwareSampler(trainset.emg_lengths, max_len,
@@ -488,16 +516,25 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
 
         def _batches():
             # Fold + host->device transfer in a background thread so batch
-            # k+1 overlaps step k's compute (floats ship as f16; every loss
-            # upcasts on device — see TrainConfig.transfer_dtype rationale).
+            # k+1 overlaps step k's compute (floats ship as transfer_dtype;
+            # every loss upcasts on device). In device-resident mode the
+            # fold happens on-device: only {rows, num_samples} descriptors
+            # (~260 bytes) cross the wire per batch.
             for index_batch in sampler:
+                if device_corpus is not None:
+                    rows = np.zeros(max_samples, np.int32)
+                    rows[:len(index_batch)] = index_batch
+                    yield jax.device_put(
+                        {"rows": rows,
+                         "num_samples": np.int32(len(index_batch))})
+                    continue
                 items = [trainset[i] for i in index_batch]
                 batch = fold_encoder_batch(
                     items, n_win=n_win, max_samples=max_samples,
                     max_silent=max_silent,
                     silent_target_frames=silent_target_frames,
                     silent_pred_frames=silent_pred_frames).as_dict()
-                batch = {k: (v.astype(np.float16)
+                batch = {k: (v.astype(np_float)
                              if getattr(v, "dtype", None) == np.float32 else v)
                          for k, v in batch.items()}
                 yield jax.device_put(batch)
@@ -642,7 +679,9 @@ def main(args: argparse.Namespace) -> None:
                         debug=args.debug, max_len=args.max_batch_len,
                         num_epochs=args.num_epochs,
                         warmup_steps=args.warmup_steps,
-                        save_interval_epochs=args.save_interval_epochs)
+                        save_interval_epochs=args.save_interval_epochs,
+                        device_resident_data=args.device_resident_data,
+                        transfer_dtype=args.transfer_dtype)
     done_file.write_text("Done training.\n")
 
 
@@ -664,6 +703,18 @@ def parse_args() -> argparse.Namespace:
                         default=EC.LEARNING_RATE_WARMUP,
                         help="Linear LR warmup batches (reference: 500; "
                              "emg_encoder/constants.py:20).")
+    parser.add_argument("--device_resident_data",
+                        action=argparse.BooleanOptionalAction, default=True,
+                        help="Keep the train split in device memory and fold "
+                             "batches on-device from {rows, num_samples} "
+                             "descriptors (--no-device_resident_data for the "
+                             "host fold+transfer pipeline, e.g. when the "
+                             "split exceeds device memory).")
+    parser.add_argument("--transfer_dtype", type=str, default="float16",
+                        choices=("float16", "float32"),
+                        help="Float precision of training inputs (wire "
+                             "format on the host path, storage on the "
+                             "device-resident path).")
     parser.add_argument("--save_interval_epochs", type=int, default=1,
                         help="Flush best/last checkpoints to disk every N "
                              "epochs (best params are snapshotted on device "

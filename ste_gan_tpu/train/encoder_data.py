@@ -197,3 +197,182 @@ def fold_encoder_batch(
 def windows_needed(lengths: Sequence[int], seq_len: int = EC.SEQ_LEN) -> int:
     window = seq_len * 8
     return math.ceil(sum(lengths) / window)
+
+
+class EncoderDeviceCorpus:
+    """Device-resident analogue of :func:`fold_encoder_batch`: the whole
+    split lives in device memory as FLAT concatenated arrays (no padding
+    waste) plus per-utterance ``[N]`` int32 metadata, and the entire folded
+    batch — EMG windows, flattened targets, segment ids, silent DTW slots —
+    is reconstructed INSIDE the jitted train step from a descriptor of just
+    ``{rows, num_samples}`` (~260 bytes).
+
+    Mechanism: with per-utterance (start, length) resident on device, the
+    concatenation offsets of any packed batch are a ``cumsum`` of the
+    selected lengths, position->utterance segment ids are a ``searchsorted``
+    against them, and the folded streams are one gather each from the flat
+    corpus — all static-shaped. This is the encoder-trainer counterpart of
+    :class:`ste_gan_tpu.data.device_corpus.DeviceCorpus` (GAN trainer);
+    the reference's analogue is host-side collate + per-step GPU copies
+    (ste_gan/emg_encoder/utils.py:93-104, train.py:91-146).
+
+    Float arrays are stored in ``float_dtype`` (f16 by default — the same
+    quantization as the host pipeline's f16 wire format, so trajectories
+    match at equal precision)."""
+
+    def __init__(self, dataset, emg_ratio: int = EC.EMG_SIGNAL_TO_SPEECH_UNITS,
+                 float_dtype=None):
+        import jax
+        import jax.numpy as jnp
+
+        if float_dtype is None:
+            float_dtype = jnp.float16
+        n = len(dataset)
+        if n == 0:
+            raise ValueError("cannot build an EncoderDeviceCorpus from an "
+                             "empty split")
+        items = [dataset[i] for i in range(n)]
+        emg_list = [np.asarray(it[C.DataType.REAL_EMG], np.float32)
+                    for it in items]
+        su_list = [np.asarray(it[C.DataType.SPEECH_UNITS], np.float32)
+                   for it in items]
+        ph_list = [np.asarray(it[C.DataType.PHONEMES], np.int32)
+                   for it in items]
+        silent_flags = np.asarray(
+            [it[C.DataType.SPEAKING_MODE_ID] != C.SpeakingMode.NORMAL
+             for it in items], bool)
+        for k, (e, s) in enumerate(zip(emg_list, su_list)):
+            if not silent_flags[k]:
+                assert len(s) == len(e) // emg_ratio, (
+                    f"voiced sample {k}: {len(s)} target frames vs "
+                    f"{len(e) // emg_ratio} prediction frames")
+
+        self.emg_ratio = emg_ratio
+        emg_lens = np.asarray([len(e) for e in emg_list], np.int32)
+        fr_lens = np.asarray([len(s) for s in su_list], np.int32)
+        self.max_target_frames = int(fr_lens.max())
+        np_float = np.dtype(jnp.dtype(float_dtype).name)
+
+        # Flat corpora; target tracks padded at the tail by the longest
+        # utterance so fixed-size silent-slot slices never clamp.
+        emg_flat = np.concatenate(emg_list, axis=0).astype(np_float)
+        su_flat = np.concatenate(
+            su_list + [np.zeros((self.max_target_frames, su_list[0].shape[-1]),
+                                np.float32)], axis=0).astype(np_float)
+        ph_flat = np.concatenate(
+            ph_list + [np.zeros((self.max_target_frames,), np.int32)])
+
+        put = jax.device_put
+        self.emg_flat = put(emg_flat)
+        self.su_flat = put(su_flat)
+        self.ph_flat = put(ph_flat)
+        self.emg_start = put(np.concatenate(
+            [[0], np.cumsum(emg_lens)[:-1]]).astype(np.int32))
+        self.emg_len = put(emg_lens)
+        self.fr_start = put(np.concatenate(
+            [[0], np.cumsum(fr_lens)[:-1]]).astype(np.int32))
+        self.fr_len = put(fr_lens)
+        self.silent_flag = put(silent_flags)
+
+    @property
+    def nbytes(self) -> int:
+        arrays = (self.emg_flat, self.su_flat, self.ph_flat, self.emg_start,
+                  self.emg_len, self.fr_start, self.fr_len, self.silent_flag)
+        return sum(int(a.size) * a.dtype.itemsize for a in arrays)
+
+    def fold(self, rows, num_samples, *, seq_len: int = EC.SEQ_LEN,
+             n_win: int, max_samples: int, max_silent: int = 0,
+             silent_target_frames: int = 0):
+        """Jit-traceable device fold. Output matches
+        ``fold_encoder_batch([dataset[r] for r in rows[:num_samples]], ...)``
+        field-for-field (modulo ``float_dtype``). ``rows`` is ``[max_samples]``
+        int32 (entries past ``num_samples`` ignored)."""
+        import jax
+        import jax.numpy as jnp
+
+        window = seq_len * 8
+        ratio = self.emg_ratio
+        frames_per_win = window // ratio
+
+        rows = rows.astype(jnp.int32)
+        num = jnp.asarray(num_samples, jnp.int32)
+        arange_b = jnp.arange(max_samples, dtype=jnp.int32)
+        valid = arange_b < num
+        r = jnp.where(valid, rows, 0)
+
+        # EMG stream: batch offsets via cumsum, position->sample via
+        # searchsorted, one gather from the flat corpus.
+        e_len = jnp.where(valid, self.emg_len[r], 0)
+        cum = jnp.concatenate([jnp.zeros((1,), e_len.dtype), jnp.cumsum(e_len)])
+        total = cum[-1]
+        capacity = n_win * window
+        pos = jnp.arange(capacity, dtype=jnp.int32)
+        k = jnp.clip(jnp.searchsorted(cum, pos, side="right") - 1,
+                     0, max_samples - 1)
+        idx = self.emg_start[r][k] + (pos - cum[k])
+        in_range = pos < total
+        emg = jnp.where(
+            in_range[:, None],
+            self.emg_flat[jnp.clip(idx, 0, self.emg_flat.shape[0] - 1)], 0)
+        emg_windows = emg.reshape(n_win, window, -1)
+
+        # Flattened 50 Hz frame axis: same mechanism at frame granularity.
+        p_len = e_len // ratio
+        fcum = jnp.concatenate([jnp.zeros((1,), p_len.dtype), jnp.cumsum(p_len)])
+        ftotal = fcum[-1]
+        frame_capacity = n_win * frames_per_win
+        fpos = jnp.arange(frame_capacity, dtype=jnp.int32)
+        fk = jnp.clip(jnp.searchsorted(fcum, fpos, side="right") - 1,
+                      0, max_samples - 1)
+        f_in = fpos < ftotal
+        frame_sample_id = jnp.where(f_in, fk, -1).astype(jnp.int32)
+
+        sil = jnp.where(valid, self.silent_flag[r], False)
+        voiced_frame = f_in & ~sil[fk]
+        fidx = self.fr_start[r][fk] + (fpos - fcum[fk])
+        fidx_c = jnp.clip(fidx, 0, self.su_flat.shape[0] - 1)
+        su = jnp.where(voiced_frame[:, None], self.su_flat[fidx_c], 0)
+        ph = jnp.where(voiced_frame, self.ph_flat[fidx_c], 0).astype(jnp.int32)
+
+        batch = {
+            "emg_windows": emg_windows,
+            "su_targets": su,
+            "ph_targets": ph,
+            "frame_sample_id": frame_sample_id,
+            "silent": sil,
+            "num_samples": num,
+        }
+        if max_silent > 0:
+            # Scatter the batch's silent samples into fixed slots in batch
+            # order (host-fold semantics); OOB updates are dropped.
+            mask = sil & valid
+            slot = jnp.cumsum(mask.astype(jnp.int32)) - 1
+            tgt = jnp.where(mask, slot, max_silent)
+
+            def scat(vals, dtype=jnp.int32):
+                return (jnp.zeros((max_silent,), dtype)
+                        .at[tgt].set(vals.astype(dtype), mode="drop"))
+
+            slot_row = scat(r)
+            slot_active = (jnp.zeros((max_silent,), bool)
+                           .at[tgt].set(True, mode="drop"))
+            t_len = jnp.where(slot_active, self.fr_len[slot_row], 0)
+
+            def one_slot(row, lt):
+                su_t = jax.lax.dynamic_slice_in_dim(
+                    self.su_flat, self.fr_start[row], silent_target_frames)
+                ph_t = jax.lax.dynamic_slice_in_dim(
+                    self.ph_flat, self.fr_start[row], silent_target_frames)
+                keep = jnp.arange(silent_target_frames) < lt
+                return (jnp.where(keep[:, None], su_t, 0),
+                        jnp.where(keep, ph_t, 0).astype(jnp.int32))
+
+            su_t, ph_t = jax.vmap(one_slot)(slot_row, t_len)
+            batch.update({
+                "silent_su_targets": su_t,
+                "silent_ph_targets": ph_t,
+                "silent_target_len": t_len,
+                "silent_pred_start": scat(fcum[arange_b]),
+                "silent_pred_len": scat(p_len),
+            })
+        return batch
