@@ -66,6 +66,12 @@ def main() -> None:
         # Throughput-scaling sweeps (vs_baseline stays normalised per
         # sample, so bigger batches show the per-chip capacity headroom).
         cfg.train.batch_size = int(os.environ["STE_BENCH_BATCH"])
+    if os.environ.get("STE_BENCH_FULL_DISC"):
+        # Full (non-small) MPD+MSD ensemble — the reference's
+        # discriminator_small=false variant (5-layer period discs to 1024
+        # ch, 7-layer scale discs). The shipped protocol uses small discs
+        # (reference configs/ste_gan_base_gantts.yaml:11).
+        cfg.model.discriminator_small = False
     models = build_models(cfg)
     rng = jax.random.PRNGKey(0)
     encoder_variables = jax.jit(lambda r: models.encoder.init(

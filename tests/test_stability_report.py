@@ -18,11 +18,15 @@ from pathlib import Path
 import pytest
 
 ART = Path(__file__).resolve().parents[1] / "benchmarks" / "stability_r3"
+#: Both committed full-budget runs: the host input pipeline (stability_r3)
+#: and the device-resident corpus pipeline (stability_r3_resident) — every
+#: GAN-budget invariant must hold for each.
+GAN_RUNS = ["stability_r3", "stability_r3_resident"]
 
 
-@pytest.fixture(scope="module")
-def summary():
-    path = ART / "summary.json"
+@pytest.fixture(scope="module", params=GAN_RUNS)
+def summary(request):
+    path = ART.parent / request.param / "summary.json"
     if not path.exists():
         pytest.skip("stability artifacts not yet generated")
     return json.loads(path.read_text())
