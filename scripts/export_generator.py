@@ -1,0 +1,119 @@
+"""Export a trained run's generator as a self-contained StableHLO artifact.
+
+Loads a training run directory (config snapshot + checkpoint), bakes the
+trained weights into a shape-polymorphic `jax.export` serialization, and
+writes ``<run_dir>/export/generator-<tag>.jaxexport`` (plus the session
+vocabulary JSON next to it, since embedding indices are the one piece of
+run state a deployment still needs — reference
+ste_gan/data/emg_dataset.py:202-218). The artifact runs on any of the
+requested platforms with no dependency on this package; see
+``ste_gan_tpu/export.py``.
+
+Usage:
+    python scripts/export_generator.py --run_dir exp/ste-gan/<run> \
+        [--tag best] [--platforms tpu,cpu] [--out <path>]
+"""
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ste_gan_tpu.config import load_config
+from ste_gan_tpu.export import (export_generator, load_exported,
+                                save_exported, speech_feature_dim)
+from ste_gan_tpu.models.generator import init_emg_generator
+from ste_gan_tpu.train.checkpoint import CheckpointManager
+from ste_gan_tpu.train.gan import build_models, init_state
+from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--run_dir", type=Path, required=True)
+    parser.add_argument("--tag", type=str, default="best",
+                        help="checkpoint tag: best | latest | checkpoint-XXXXXXXX")
+    parser.add_argument("--platforms", type=str, default="tpu,cpu",
+                        help="comma-separated lowering platforms")
+    parser.add_argument("--out", type=Path, default=None)
+    parser.add_argument("--verify", action="store_true",
+                        help="reload the artifact and diff one call "
+                             "against the in-framework generator")
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="compute dtype baked into the artifact. "
+                             "float32 (default) for deployment-grade "
+                             "numerics regardless of the training config's "
+                             "bf16; bfloat16 for maximum-throughput "
+                             "serving (bit-for-bit reproducibility across "
+                             "recompiles is not guaranteed under bf16)")
+    parser.add_argument("--device", type=str, default="default",
+                        choices=("default", "cpu"),
+                        help="backend to trace/verify on; multi-platform "
+                             "lowering does not need the target hardware, "
+                             "so --device cpu exports TPU artifacts while "
+                             "the TPU is busy")
+    args = parser.parse_args()
+
+    if args.device == "cpu":
+        from ste_gan_tpu.utils.jax_setup import force_platform
+        force_platform("cpu")
+    enable_compilation_cache()
+    run_dir = Path(args.run_dir)
+    cfg = load_config(config=run_dir / "config.yaml")
+
+    models = build_models(cfg)
+    template = init_state(cfg, models, jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(run_dir)
+    if args.tag == "latest":
+        restored = ckpt.restore_latest(template)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoints in {run_dir}")
+        state, _ = restored
+    else:
+        state, _ = ckpt.restore(args.tag, template)
+
+    feature_dim = speech_feature_dim(cfg)
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+    # The export generator's compute dtype is an explicit deployment choice
+    # (the training config's bf16 setting stays a training concern); the
+    # trained parameters are f32 either way.
+    export_gen = init_emg_generator(
+        cfg, dtype=jnp.float32 if args.dtype == "float32" else jnp.bfloat16)
+    exported = export_generator(export_gen, state.gen_params,
+                                feature_dim, platforms=platforms)
+
+    out = args.out or run_dir / "export" / f"generator-{args.tag}.jaxexport"
+    n_bytes = save_exported(exported, out)
+    for vocab in ("session_idx_to_id.json", "speaking_mode_idx_to_id.json"):
+        if (run_dir / vocab).exists():
+            shutil.copy2(run_dir / vocab, out.parent / vocab)
+    print(f"wrote {out} ({n_bytes / 1e6:.1f} MB, platforms={platforms}, "
+          f"feature_dim={feature_dim})")
+
+    if args.verify:
+        loaded = load_exported(out)
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(rng.normal(size=(1, 64, feature_dim)), jnp.float32)
+        sess = jnp.zeros((1,), jnp.int32)
+        start = time.perf_counter()
+        got = loaded.call(feats, sess)
+        compile_s = time.perf_counter() - start
+        want = export_gen.apply({"params": state.gen_params}, feats, sess)
+        diff = float(jnp.max(jnp.abs(got - want)))
+        print(f"verify: out {got.shape}, max |artifact - framework| = "
+              f"{diff:.2e} (first-call {compile_s:.1f}s)")
+        if diff > 1e-4:
+            raise SystemExit("verification FAILED")
+
+
+if __name__ == "__main__":
+    main()
