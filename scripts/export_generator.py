@@ -28,8 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ste_gan_tpu.config import load_config
-from ste_gan_tpu.export import (export_generator, load_exported,
-                                save_exported, speech_feature_dim)
+from ste_gan_tpu.export import (export_generator, generator_meta,
+                                load_exported, save_exported,
+                                speech_feature_dim)
 from ste_gan_tpu.models.generator import init_emg_generator
 from ste_gan_tpu.train.checkpoint import CheckpointManager
 from ste_gan_tpu.train.gan import build_models, init_state
@@ -44,6 +45,11 @@ def main() -> None:
     parser.add_argument("--platforms", type=str, default="tpu,cpu",
                         help="comma-separated lowering platforms")
     parser.add_argument("--out", type=Path, default=None)
+    parser.add_argument("--serving", action="store_true",
+                        help="export the micro-batching serving signature "
+                             "(feats, session, mode, num_valid) with "
+                             "per-row valid-length masking; the artifact "
+                             "can back ste_gan_tpu.serve --artifact")
     parser.add_argument("--verify", action="store_true",
                         help="reload the artifact and diff one call "
                              "against the in-framework generator")
@@ -89,10 +95,15 @@ def main() -> None:
     export_gen = init_emg_generator(
         cfg, dtype=jnp.float32 if args.dtype == "float32" else jnp.bfloat16)
     exported = export_generator(export_gen, state.gen_params,
-                                feature_dim, platforms=platforms)
+                                feature_dim, platforms=platforms,
+                                serving=args.serving)
 
-    out = args.out or run_dir / "export" / f"generator-{args.tag}.jaxexport"
-    n_bytes = save_exported(exported, out)
+    suffix = "-serving" if args.serving else ""
+    out = (args.out or
+           run_dir / "export" / f"generator-{args.tag}{suffix}.jaxexport")
+    n_bytes = save_exported(
+        exported, out,
+        meta=generator_meta(export_gen, feature_dim, args.serving))
     for vocab in ("session_idx_to_id.json", "speaking_mode_idx_to_id.json"):
         if (run_dir / vocab).exists():
             shutil.copy2(run_dir / vocab, out.parent / vocab)
@@ -105,7 +116,11 @@ def main() -> None:
         feats = jnp.asarray(rng.normal(size=(1, 64, feature_dim)), jnp.float32)
         sess = jnp.zeros((1,), jnp.int32)
         start = time.perf_counter()
-        got = loaded.call(feats, sess)
+        if args.serving:
+            got = loaded.call(feats, sess, jnp.zeros((1,), jnp.int32),
+                              jnp.full((1,), feats.shape[1], jnp.int32))
+        else:
+            got = loaded.call(feats, sess)
         compile_s = time.perf_counter() - start
         want = export_gen.apply({"params": state.gen_params}, feats, sess)
         diff = float(jnp.max(jnp.abs(got - want)))

@@ -42,7 +42,8 @@ def speech_feature_dim(cfg) -> int:
 
 
 def export_generator(generator, gen_params, feature_dim: int,
-                     platforms: Optional[Sequence[str]] = None):
+                     platforms: Optional[Sequence[str]] = None,
+                     serving: bool = False):
     """Export ``generator.apply`` with ``gen_params`` baked in.
 
     Args:
@@ -54,35 +55,71 @@ def export_generator(generator, gen_params, feature_dim: int,
       feature_dim: speech-feature width (see :func:`speech_feature_dim`).
       platforms: lowering platforms, e.g. ``("tpu", "cpu")``. ``None``
         exports for the default (current) backend only.
+      serving: when True, export the micro-batching serving signature
+        ``(feats [B,T,D], session_ids [B], speaking_mode_ids [B],
+        num_valid_frames [B])`` with per-row valid-length masking — rows
+        padded beyond ``num_valid_frames[b]`` cannot contaminate valid
+        output (the exactness contract of
+        :meth:`ste_gan_tpu.infer.EMGSynthesizer.synthesize_padded`).
+        When False (default), the minimal ``(feats, session_ids)``
+        signature.
 
     Returns:
-      ``jax.export.Exported`` — call via ``.call(feats, session_ids)`` with
-      ``feats`` float32 ``[B, T, feature_dim]`` and ``session_ids`` int32
-      ``[B]``; returns ``[B, upsample_factor * T, num_emg_channels]`` EMG.
+      ``jax.export.Exported`` — call via ``.call(...)``; returns
+      ``[B, upsample_factor * T, num_emg_channels]`` EMG.
     """
 
     def synth(speech_features, session_ids):
         return generator.apply({"params": gen_params}, speech_features,
                                session_ids)
 
+    def synth_serving(speech_features, session_ids, speaking_mode_ids,
+                      num_valid_frames):
+        return generator.apply({"params": gen_params}, speech_features,
+                               session_ids, speaking_mode_ids,
+                               num_valid_frames=num_valid_frames)
+
     b, t = jax.export.symbolic_shape("b, t")
-    args = (
+    args = [
         jax.ShapeDtypeStruct((b, t, feature_dim), jnp.float32),
         jax.ShapeDtypeStruct((b,), jnp.int32),
-    )
+    ]
+    fn = synth
+    if serving:
+        args += [jax.ShapeDtypeStruct((b,), jnp.int32),
+                 jax.ShapeDtypeStruct((b,), jnp.int32)]
+        fn = synth_serving
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    return jax.export.export(jax.jit(synth), **kwargs)(*args)
+    return jax.export.export(jax.jit(fn), **kwargs)(*args)
 
 
-def save_exported(exported, path: Path) -> int:
-    """Serialize to ``path``; returns the artifact size in bytes."""
+def save_exported(exported, path: Path, meta: Optional[dict] = None) -> int:
+    """Serialize to ``path``; returns the artifact size in bytes.
+
+    ``meta`` (generator geometry: upsample/channels/feature_dim/serving)
+    is written next to the artifact as ``<path>.meta.json`` — deployments
+    need it to size buffers without the framework."""
+    import json
+
     data = exported.serialize()
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_bytes(data)
+    if meta is not None:
+        Path(str(path) + ".meta.json").write_text(json.dumps(meta, indent=1))
     return len(data)
+
+
+def generator_meta(generator, feature_dim: int, serving: bool) -> dict:
+    """Geometry sidecar for :func:`save_exported`."""
+    return {
+        "feature_dim": feature_dim,
+        "upsample": generator.upsample_factor,
+        "num_emg_channels": generator.num_emg_channels,
+        "serving": bool(serving),
+    }
 
 
 def load_exported(path: Path):
@@ -91,3 +128,49 @@ def load_exported(path: Path):
     The result's ``.call`` runs under the current JAX backend (which must
     be one of the export's platforms)."""
     return jax.export.deserialize(Path(path).read_bytes())
+
+
+class ExportedSynthesizer:
+    """Drop-in synthesizer backed by a *serving* export — the micro-batching
+    server (:mod:`ste_gan_tpu.serve`) runs from the artifact + its vocab
+    JSONs alone: no checkpoint machinery, no Flax module, no config.
+
+    Implements the subset of :class:`ste_gan_tpu.infer.EMGSynthesizer` the
+    :class:`~ste_gan_tpu.serve.MicroBatcher` contract needs
+    (``synthesize_padded``, ``upsample``, ``generator.speech_input_dim``,
+    ``generator.num_emg_channels``). Receptive-field streaming needs the
+    in-framework generator — serve's streaming endpoint reports 501 in
+    artifact mode."""
+
+    def __init__(self, path: Path):
+        import json
+        from types import SimpleNamespace
+
+        path = Path(path)
+        meta_path = Path(str(path) + ".meta.json")
+        if not meta_path.exists():
+            raise FileNotFoundError(
+                f"{meta_path} missing — re-export with "
+                "scripts/export_generator.py (it writes the geometry "
+                "sidecar)")
+        meta = json.loads(meta_path.read_text())
+        if not meta.get("serving"):
+            raise ValueError(
+                f"{path} is a minimal (feats, session) export; serving "
+                "needs the per-row valid-mask signature — re-export with "
+                "--serving")
+        self._exported = load_exported(path)
+        self.upsample = int(meta["upsample"])
+        self.generator = SimpleNamespace(
+            speech_input_dim=int(meta["feature_dim"]),
+            num_emg_channels=int(meta["num_emg_channels"]))
+
+    def synthesize_padded(self, feats, session_idx, mode_idx, num_valid):
+        """Same contract as ``EMGSynthesizer.synthesize_padded``."""
+        return self._exported.call(feats, session_idx, mode_idx, num_valid)
+
+    def synthesize_streaming(self, *args, **kwargs):
+        raise NotImplementedError(
+            "streaming synthesis needs the in-framework generator "
+            "(receptive-field windowing); serve from --run_dir for the "
+            "streaming endpoint")

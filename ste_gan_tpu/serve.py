@@ -212,6 +212,28 @@ class SynthesisService:
         self._synth = synthesizer
 
     @classmethod
+    def from_artifact(cls, artifact: Path, max_batch: int = 8,
+                      max_wait_ms: float = 5.0, bucket: int = 64,
+                      max_queue: int = 64) -> "SynthesisService":
+        """Serve from a StableHLO serving export
+        (``scripts/export_generator.py --serving``) — no checkpoint, no
+        Flax, no config; session vocab JSON is read from the artifact's
+        directory when present. The streaming endpoint is unavailable in
+        this mode (501)."""
+        from ste_gan_tpu.export import ExportedSynthesizer
+
+        artifact = Path(artifact)
+        synth = ExportedSynthesizer(artifact)
+        session_id_to_idx = {}
+        vocab_path = artifact.parent / "session_idx_to_id.json"
+        if vocab_path.exists():
+            idx_to_id = json.loads(vocab_path.read_text())
+            session_id_to_idx = {v: int(k) for k, v in idx_to_id.items()}
+        return cls(synth, session_id_to_idx, max_batch=max_batch,
+                   max_wait_ms=max_wait_ms, bucket=bucket,
+                   max_queue=max_queue)
+
+    @classmethod
     def from_run_dir(cls, run_dir: Path, tag: str = "best",
                      max_batch: int = 8, max_wait_ms: float = 5.0,
                      bucket: int = 64, max_queue: int = 64) -> "SynthesisService":
@@ -266,8 +288,11 @@ class SynthesisService:
         """Yield EMG chunks as they are synthesized (receptive-field-exact
         chunking: interiors match the full-utterance result; see
         ``EMGSynthesizer.synthesize_streaming``). Latency-oriented path —
-        bypasses the micro-batcher."""
-        yield from self._synth.synthesize_streaming(
+        bypasses the micro-batcher. Returns the chunk iterator directly
+        (NOT a generator wrapper) so an artifact-mode synthesizer's
+        NotImplementedError surfaces at call time, before the HTTP handler
+        has committed response headers."""
+        return self._synth.synthesize_streaming(
             np.asarray(feats, np.float32), self.resolve_session(session),
             chunk_frames=chunk_frames, mode_idx=mode_idx)
 
@@ -345,6 +370,10 @@ def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
                     # 8-byte big-endian byte count + raw float32 [n, C]
                     # bytes; a zero length terminates the stream.
                     feats, session, mode = self._read_payload()
+                    # Obtain the iterator BEFORE committing headers — an
+                    # artifact-mode service raises NotImplementedError here
+                    # and must still be able to answer 501.
+                    chunks = service.synthesize_stream(feats, session, mode)
                     self.send_response(200)
                     self.send_header("Content-Type",
                                      "application/octet-stream")
@@ -352,8 +381,7 @@ def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
                         "X-Emg-Channels",
                         str(service._synth.generator.num_emg_channels))
                     self.end_headers()
-                    for chunk in service.synthesize_stream(feats, session,
-                                                           mode):
+                    for chunk in chunks:
                         raw = np.ascontiguousarray(chunk, np.float32).tobytes()
                         self.wfile.write(len(raw).to_bytes(8, "big"))
                         self.wfile.write(raw)
@@ -361,6 +389,8 @@ def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
                     self.wfile.write((0).to_bytes(8, "big"))
                 else:
                     self._json(404, {"error": "not found"})
+            except NotImplementedError as exc:
+                self._json(501, {"error": str(exc)})
             except ServiceOverloadedError as exc:
                 try:
                     body = json.dumps({"error": str(exc)}).encode()
@@ -383,7 +413,13 @@ def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--run_dir", type=Path, required=True)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--run_dir", type=Path,
+                     help="GAN training run directory (checkpoint mode)")
+    src.add_argument("--artifact", type=Path,
+                     help="StableHLO serving export "
+                          "(scripts/export_generator.py --serving); no "
+                          "checkpoint/config needed, streaming disabled")
     ap.add_argument("--tag", default="best")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8571)
@@ -392,15 +428,28 @@ def main() -> None:
     ap.add_argument("--bucket", type=int, default=64)
     ap.add_argument("--max_queue", type=int, default=64,
                     help="backpressure high-water mark (503 beyond it)")
+    ap.add_argument("--device", type=str, default="default",
+                    choices=("default", "cpu"),
+                    help="backend to serve on; multi-platform artifacts "
+                         "run on CPU hosts with --device cpu")
     args = ap.parse_args()
 
     from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
 
+    if args.device == "cpu":
+        from ste_gan_tpu.utils.jax_setup import force_platform
+        force_platform("cpu")
     enable_compilation_cache()
-    service = SynthesisService.from_run_dir(
-        args.run_dir, tag=args.tag, max_batch=args.max_batch,
-        max_wait_ms=args.max_wait_ms, bucket=args.bucket,
-        max_queue=args.max_queue)
+    if args.artifact is not None:
+        service = SynthesisService.from_artifact(
+            args.artifact, max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms, bucket=args.bucket,
+            max_queue=args.max_queue)
+    else:
+        service = SynthesisService.from_run_dir(
+            args.run_dir, tag=args.tag, max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms, bucket=args.bucket,
+            max_queue=args.max_queue)
     print(f"warming up (bucket={args.bucket})...", flush=True)
     service.warmup(num_frames=args.bucket, batch_sizes=(1,))
     server = make_http_server(service, args.host, args.port)

@@ -89,3 +89,48 @@ def test_artifact_needs_no_framework_state(su_setup, tmp_path):
     out = loaded.call(jnp.zeros((1, 8, 256), jnp.float32),
                       jnp.zeros((1,), jnp.int32))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_serving_export_padded_exactness(su_setup, tmp_path):
+    """The serving signature's per-row valid masking must reproduce
+    EMGSynthesizer.synthesize_padded exactly: stacked unequal-length rows,
+    each exact up to upsample*valid[b] (the micro-batcher contract)."""
+    from ste_gan_tpu.export import ExportedSynthesizer, generator_meta
+    from ste_gan_tpu.infer import EMGSynthesizer
+
+    cfg, gen, params = su_setup
+    exported = export_generator(gen, params, speech_feature_dim(cfg),
+                                serving=True)
+    path = tmp_path / "generator-serving.jaxexport"
+    save_exported(exported, path,
+                  meta=generator_meta(gen, speech_feature_dim(cfg),
+                                      serving=True))
+    art = ExportedSynthesizer(path)
+    ref = EMGSynthesizer(gen, params)
+
+    rng = np.random.default_rng(2)
+    feats = jnp.asarray(rng.normal(size=(3, 48, 256)), jnp.float32)
+    sess = jnp.asarray([0, 1, 2], jnp.int32)
+    mode = jnp.zeros((3,), jnp.int32)
+    valid = jnp.asarray([48, 17, 33], jnp.int32)
+    got = np.asarray(art.synthesize_padded(feats, sess, mode, valid))
+    want = np.asarray(ref.synthesize_padded(feats, sess, mode, valid))
+    up = gen.upsample_factor
+    for b, v in enumerate([48, 17, 33]):
+        np.testing.assert_allclose(got[b, : up * v], want[b, : up * v],
+                                   atol=1e-5)
+    assert art.upsample == up
+    assert art.generator.speech_input_dim == 256
+    assert art.generator.num_emg_channels == cfg.data.num_emg_channels
+
+
+def test_minimal_artifact_refuses_serving(su_setup, tmp_path):
+    from ste_gan_tpu.export import ExportedSynthesizer, generator_meta
+
+    cfg, gen, params = su_setup
+    path = tmp_path / "minimal.jaxexport"
+    save_exported(export_generator(gen, params, speech_feature_dim(cfg)),
+                  path, meta=generator_meta(gen, speech_feature_dim(cfg),
+                                            serving=False))
+    with pytest.raises(ValueError, match="serving"):
+        ExportedSynthesizer(path)

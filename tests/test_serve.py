@@ -217,3 +217,43 @@ class TestHTTP:
         finally:
             server.shutdown()
             service.close()
+
+
+class TestArtifactService:
+    """serve --artifact mode: the micro-batching service runs from a
+    StableHLO serving export alone (ste_gan_tpu/export.py)."""
+
+    @pytest.fixture(scope="class")
+    def artifact_service(self, small_synth, tmp_path_factory):
+        import json
+
+        from ste_gan_tpu.export import (export_generator, generator_meta,
+                                        save_exported)
+
+        out_dir = tmp_path_factory.mktemp("artifact")
+        path = out_dir / "generator-best-serving.jaxexport"
+        gen = small_synth.generator
+        exported = export_generator(gen, small_synth.params,
+                                    gen.speech_input_dim, serving=True)
+        save_exported(exported, path,
+                      meta=generator_meta(gen, gen.speech_input_dim,
+                                          serving=True))
+        (out_dir / "session_idx_to_id.json").write_text(
+            json.dumps({"0": "sess_a", "1": "sess_b"}))
+        service = SynthesisService.from_artifact(path, max_batch=4,
+                                                 max_wait_ms=1.0, bucket=16)
+        yield service
+        service.close()
+
+    def test_artifact_requests_match_framework(self, artifact_service,
+                                               small_synth, rng):
+        feats = rng.normal(size=(11, 256)).astype(np.float32)
+        got = artifact_service.synthesize(feats, "sess_b")
+        want = small_synth.synthesize(feats, 1)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_artifact_streaming_unavailable(self, artifact_service):
+        with pytest.raises(NotImplementedError):
+            artifact_service.synthesize_stream(
+                np.zeros((8, 256), np.float32), 0)
