@@ -155,3 +155,41 @@ def test_synthesis_quality_closes_the_loop():
     assert q["phoneme_accuracy"] > 0.90
     assert q["phoneme_accuracy"] > 10 * q["chance_accuracy"]
     assert q["su_l1"] < 0.5
+
+
+# ---------------------------------------------------------------------------
+# MFCC-variant training (x8 upsample) — 5,000-step demonstration run.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mfcc_summary():
+    path = ART.parent / "stability_r3_mfcc" / "summary.json"
+    if not path.exists():
+        pytest.skip("MFCC-run artifacts not yet generated")
+    return json.loads(path.read_text())
+
+
+def test_mfcc_variant_learns(mfcc_summary):
+    """The x8-upsample MFCC generator trains end-to-end through the same
+    protocol: SU error down double-digit percent, phoneme accuracy rising
+    from chance, losses bounded (reference MFCC path:
+    ste_gan/models/generator.py:116,127,176-181)."""
+    s = mfcc_summary
+    assert s["steps"] >= 5_000
+    su = s["val_speech_unit"]
+    assert su["last"] < 0.5 * su["first"]
+    acc = s["val_phoneme_accuracy_avg"]
+    assert acc["last"] > 10 * acc["first"]
+    g = s["train_loss_generator"]
+    assert g["max"] <= 2.0 * g["first"] and g["last"] < g["first"]
+
+
+def test_mfcc_synthesis_quality_closes_the_loop():
+    path = ART / "synthesis_quality_mfcc.json"
+    if not path.exists():
+        pytest.skip("MFCC synthesis-quality artifacts not yet generated")
+    q = json.loads(path.read_text())
+    assert q["total_frames"] > 1_000
+    assert q["phoneme_accuracy"] > 0.90
+    assert q["su_l1"] < 0.5
