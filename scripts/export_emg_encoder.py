@@ -1,0 +1,93 @@
+"""Export a trained EMG encoder as a self-contained StableHLO artifact.
+
+The encoder is the silent-speech *decoding* direction (EMG → soft speech
+units + phoneme logits; reference ste_gan/models/emg_encoder.py:36-88) —
+the deployable half of a silent-speech interface. Loads an encoder
+pre-training run's checkpoint (``best_val_loss_model`` /
+``last_model``), bakes the weights into a shape-polymorphic `jax.export`
+serialization (symbolic batch + length, EMG length a multiple of 16 and
+>= 1,616 samples — see ``ste_gan_tpu.export.export_emg_encoder``), and
+writes ``<ckpt>.jaxexport`` next to the checkpoint.
+
+Usage:
+    python scripts/export_emg_encoder.py \
+        --ckpt exp/emg_encoder/<run>/best_val_loss_model \
+        [--config <run>/config.yaml] [--platforms tpu,cpu] [--device cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--ckpt", type=Path, required=True,
+                        help="encoder checkpoint dir (Orbax pytree)")
+    parser.add_argument("--config", type=Path, default=None,
+                        help="config.yaml with the emg_encoder params "
+                             "(default: next to the checkpoint)")
+    parser.add_argument("--platforms", type=str, default="tpu,cpu")
+    parser.add_argument("--out", type=Path, default=None)
+    parser.add_argument("--device", type=str, default="default",
+                        choices=("default", "cpu"))
+    parser.add_argument("--verify", action="store_true")
+    args = parser.parse_args()
+
+    if args.device == "cpu":
+        from ste_gan_tpu.utils.jax_setup import force_platform
+        force_platform("cpu")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ste_gan_tpu.config import load_config
+    from ste_gan_tpu.export import export_emg_encoder, save_exported
+    from ste_gan_tpu.models.emg_encoder import EMGEncoderTransformer
+    from ste_gan_tpu.train.checkpoint import load_pytree
+    from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+    config_path = args.config or args.ckpt.parent / "config.yaml"
+    cfg = load_config(config=config_path)
+    channels = cfg.data.num_emg_channels
+
+    model = EMGEncoderTransformer(**(cfg.emg_encoder.params or {}))
+    template = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, 16 * 101, channels)), train=False))(
+        jax.random.PRNGKey(0))
+    variables = load_pytree(args.ckpt, template)
+
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+    exported = export_emg_encoder(model, variables, channels,
+                                  platforms=platforms)
+    out = args.out or Path(str(args.ckpt) + ".jaxexport")
+    n_bytes = save_exported(exported, out)
+    print(f"wrote {out} ({n_bytes / 1e6:.1f} MB, platforms={platforms})")
+
+    if args.verify:
+        from ste_gan_tpu.export import load_exported
+
+        loaded = load_exported(out)
+        rng = np.random.default_rng(0)
+        emg = jnp.asarray(rng.normal(size=(1, 16 * 128, channels)) * 0.1,
+                          jnp.float32)
+        start = time.perf_counter()
+        su, ph = loaded.call(emg)
+        compile_s = time.perf_counter() - start
+        su2, ph2 = model.apply(variables, emg, train=False)
+        diff = max(float(jnp.max(jnp.abs(su - su2))),
+                   float(jnp.max(jnp.abs(ph - ph2))))
+        print(f"verify: units {su.shape}, phonemes {ph.shape}, max diff "
+              f"{diff:.2e} (first-call {compile_s:.1f}s)")
+        if diff > 1e-4:
+            raise SystemExit("verification FAILED")
+
+
+if __name__ == "__main__":
+    main()

@@ -95,6 +95,33 @@ def export_generator(generator, gen_params, feature_dim: int,
     return jax.export.export(jax.jit(fn), **kwargs)(*args)
 
 
+def export_emg_encoder(encoder, variables, num_emg_channels: int,
+                       platforms: Optional[Sequence[str]] = None):
+    """Export the EMG encoder (EMG → soft speech units + phoneme logits —
+    the silent-speech *decoding* direction; reference
+    ste_gan/models/emg_encoder.py:36-88) as a shape-polymorphic artifact.
+
+    Signature: ``emg [B, 16*t, C] float32 → (units [B, t, 256],
+    phoneme_logits [B, t, 48])`` with symbolic batch and length. The EMG
+    length must be a multiple of 16 (the model's downsample factor) and at
+    least ``16*101`` samples: the relative-position attention switches to
+    its windowed-masking form above 100 frames (transformer.py
+    ``max_distance``), and the export pins that regime via the symbolic
+    constraint ``t >= 101`` — full utterances always run there; pad
+    shorter inputs to 1,616 samples (2.02 s)."""
+
+    def decode(emg):
+        return encoder.apply(variables, emg, train=False)
+
+    scope = jax.export.SymbolicScope(["t >= 101"])
+    b, t16 = jax.export.symbolic_shape("b, 16*t", scope=scope)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jax.export.export(jax.jit(decode), **kwargs)(
+        jax.ShapeDtypeStruct((b, t16, num_emg_channels), jnp.float32))
+
+
 def save_exported(exported, path: Path, meta: Optional[dict] = None) -> int:
     """Serialize to ``path``; returns the artifact size in bytes.
 

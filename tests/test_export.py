@@ -134,3 +134,29 @@ def test_minimal_artifact_refuses_serving(su_setup, tmp_path):
                                             serving=False))
     with pytest.raises(ValueError, match="serving"):
         ExportedSynthesizer(path)
+
+
+def test_emg_encoder_export_polymorphic(tmp_path):
+    """The silent-speech decoding direction exports too: EMG [B, 16*t, C]
+    -> (units, phoneme logits), symbolic over batch and length in the
+    windowed rel-pos regime (t >= 101; transformer.py max_distance)."""
+    from ste_gan_tpu.export import export_emg_encoder
+    from ste_gan_tpu.models.emg_encoder import EMGEncoderTransformer
+
+    enc = EMGEncoderTransformer(model_size=64, num_transformer_layers=2,
+                                num_heads=2)
+    variables = jax.jit(lambda r: enc.init(
+        r, jnp.zeros((1, 16 * 101, 8), jnp.float32),
+        train=False))(jax.random.PRNGKey(3))
+    path = tmp_path / "encoder.jaxexport"
+    save_exported(export_emg_encoder(enc, variables, 8), path)
+    loaded = load_exported(path)
+
+    rng = np.random.default_rng(3)
+    for b, t in [(1, 104), (2, 128)]:
+        emg = jnp.asarray(rng.normal(size=(b, 16 * t, 8)) * 0.1, jnp.float32)
+        su, ph = loaded.call(emg)
+        su2, ph2 = enc.apply(variables, emg, train=False)
+        assert su.shape == (b, t, 256) and ph.shape == (b, t, 48)
+        np.testing.assert_allclose(np.asarray(su), np.asarray(su2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ph), np.asarray(ph2), atol=1e-5)
