@@ -43,6 +43,13 @@ class DeviceCorpus:
     the host pipeline bit-for-bit at equal ``transfer_dtype``). Padding
     rows live past every legal crop window (train crops start at most at
     ``len - frames``), so gathers never read padding.
+
+    Registered as a JAX pytree so trainers pass it INTO the jitted step as
+    an argument. Closing over it instead embeds the whole corpus as a
+    tracing constant in the lowered HLO — at real-corpus scale (~1.6 GB
+    for 8 hours of EMG) that inflates serialization/compile by gigabytes
+    and broke the remote compile service outright; as an argument it is
+    just device buffers referenced by the executable.
     """
 
     emg: jax.Array            # [N, Lmax_emg, C] float
@@ -51,9 +58,13 @@ class DeviceCorpus:
     mfccs: Optional[jax.Array]  # [N, 2*Lmax, M] float or None
     session_index: jax.Array  # [N] int32
     speaking_mode_index: jax.Array  # [N] int32
-    unit_lengths: np.ndarray  # [N] host int64 — true (unpadded) frame counts
+    unit_lengths: tuple       # [N] host ints — true (unpadded) frame counts
     emg_train_length: int
     hopsize: int
+
+    def __post_init__(self):
+        # Hashable static metadata (pytree aux data must support ==/hash).
+        self.unit_lengths = tuple(int(x) for x in self.unit_lengths)
 
     @property
     def frames(self) -> int:
@@ -150,6 +161,13 @@ class DeviceCorpus:
         batch[C.DataType.SESSION_INDEX] = self.session_index[rows]
         batch[C.DataType.SPEAKING_MODE_INDEX] = self.speaking_mode_index[rows]
         return batch
+
+
+jax.tree_util.register_dataclass(
+    DeviceCorpus,
+    data_fields=["emg", "speech_units", "phonemes", "mfccs",
+                 "session_index", "speaking_mode_index"],
+    meta_fields=["unit_lengths", "emg_train_length", "hopsize"])
 
 
 class IndexLoader:

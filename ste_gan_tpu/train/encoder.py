@@ -466,14 +466,19 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
             "memory — per-batch H2D reduced to {rows, num_samples}",
             len(trainset), device_corpus.nbytes / 2**20)
 
-        def step_with_fold(state, idx, rng):
-            batch = device_corpus.fold(
+        # The corpus rides as a jit ARGUMENT (registered pytree) — closing
+        # over it would bake it into the HLO as a constant (fatal at
+        # real-corpus scale; see DeviceCorpus docstring).
+        def step_with_fold(state, idx, rng, corpus):
+            batch = corpus.fold(
                 idx["rows"], idx["num_samples"], n_win=n_win,
                 max_samples=max_samples, max_silent=max_silent,
                 silent_target_frames=silent_target_frames)
             return base_step(state, batch, rng)
 
-        train_step = jax.jit(step_with_fold, donate_argnums=0)
+        jit_fold_step = jax.jit(step_with_fold, donate_argnums=0)
+        train_step = lambda state, batch, rng: jit_fold_step(
+            state, batch, rng, device_corpus)
     else:
         train_step = jax.jit(base_step, donate_argnums=0)
     eval_step = jax.jit(make_encoder_eval_step(model, max_samples))

@@ -199,6 +199,38 @@ def windows_needed(lengths: Sequence[int], seq_len: int = EC.SEQ_LEN) -> int:
     return math.ceil(sum(lengths) / window)
 
 
+_ENCODER_CORPUS_REGISTERED = False
+
+
+def _register_encoder_corpus_pytree() -> None:
+    """Register :class:`EncoderDeviceCorpus` as a JAX pytree (lazily — this
+    module stays importable without jax). Trainers pass the corpus INTO the
+    jitted step as an argument; closing over it instead would embed the
+    whole corpus as an HLO constant, which at real-corpus scale inflates
+    the compile payload by gigabytes (see
+    ste_gan_tpu.data.device_corpus.DeviceCorpus)."""
+    global _ENCODER_CORPUS_REGISTERED
+    if _ENCODER_CORPUS_REGISTERED:
+        return
+    import jax
+
+    def _flatten(c):
+        children = (c.emg_flat, c.su_flat, c.ph_flat, c.emg_start,
+                    c.emg_len, c.fr_start, c.fr_len, c.silent_flag)
+        return children, (c.emg_ratio, c.max_target_frames)
+
+    def _unflatten(aux, children):
+        obj = object.__new__(EncoderDeviceCorpus)
+        (obj.emg_flat, obj.su_flat, obj.ph_flat, obj.emg_start,
+         obj.emg_len, obj.fr_start, obj.fr_len, obj.silent_flag) = children
+        obj.emg_ratio, obj.max_target_frames = aux
+        return obj
+
+    jax.tree_util.register_pytree_node(EncoderDeviceCorpus, _flatten,
+                                       _unflatten)
+    _ENCODER_CORPUS_REGISTERED = True
+
+
 class EncoderDeviceCorpus:
     """Device-resident analogue of :func:`fold_encoder_batch`: the whole
     split lives in device memory as FLAT concatenated arrays (no padding
@@ -224,6 +256,8 @@ class EncoderDeviceCorpus:
                  float_dtype=None):
         import jax
         import jax.numpy as jnp
+
+        _register_encoder_corpus_pytree()
 
         if float_dtype is None:
             float_dtype = jnp.float16

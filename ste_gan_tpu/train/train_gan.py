@@ -173,13 +173,18 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     state = replicate(mesh, state)
     encoder_variables = replicate(mesh, encoder_variables)
 
-    raw_train_step = make_train_step(cfg, models)
+    # ``corpus`` is threaded through as a jit ARGUMENT (DeviceCorpus is a
+    # registered pytree; None in host-pipeline mode). Closing over it would
+    # bake the whole corpus into the lowered HLO as a constant — fatal at
+    # real-corpus scale (see DeviceCorpus docstring).
+    inner_step = make_train_step(cfg, models)
     if device_corpus is not None:
-        inner_step = raw_train_step
-
-        def raw_train_step(state, batch, encoder_variables):  # noqa: F811
-            full = device_corpus.gather(batch["rows"], batch["starts"])
+        def raw_train_step(state, batch, encoder_variables, corpus):
+            full = corpus.gather(batch["rows"], batch["starts"])
             return inner_step(state, full, encoder_variables)
+    else:
+        def raw_train_step(state, batch, encoder_variables, corpus):
+            return inner_step(state, batch, encoder_variables)
     eval_step = jax.jit(make_eval_step(cfg, models))
 
     # ONE dispatch per step: the epoch phoneme-counter accumulation rides
@@ -188,8 +193,9 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     # tunnel: measured ~100 ms/step of pure dispatch latency; measurable
     # anywhere).
     @partial(jax.jit, donate_argnums=(0, 3))
-    def train_step(state, batch, encoder_variables, acc):
-        state, metrics = raw_train_step(state, batch, encoder_variables)
+    def train_step(state, batch, encoder_variables, acc, corpus):
+        state, metrics = raw_train_step(state, batch, encoder_variables,
+                                        corpus)
         acc = {k: acc[k] + metrics[f"count/{k}"] for k in acc}
         return state, metrics, acc
 
@@ -199,10 +205,11 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     # single-step program. Per-step metrics come back stacked [K, ...] so
     # interval_log can report the exact step its multiple lands on.
     @partial(jax.jit, donate_argnums=(0, 3))
-    def train_step_k(state, stacked_batch, encoder_variables, acc):
+    def train_step_k(state, stacked_batch, encoder_variables, acc, corpus):
         def body(carry, batch):
             state, acc = carry
-            state, metrics = raw_train_step(state, batch, encoder_variables)
+            state, metrics = raw_train_step(state, batch, encoder_variables,
+                                            corpus)
             acc = {k: acc[k] + metrics[f"count/{k}"] for k in acc}
             return (state, acc), metrics
         (state, acc), metrics_seq = jax.lax.scan(
@@ -385,11 +392,11 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
             jax.profiler.start_trace(str(model_directory / "profile"))
         if k_steps == 1:
             state, metrics, acc = train_step(
-                state, batch, encoder_variables, acc)
+                state, batch, encoder_variables, acc, device_corpus)
             metrics_at = lambda step_i: metrics
         else:
             state, metrics_seq, acc = train_step_k(
-                state, batch, encoder_variables, acc)
+                state, batch, encoder_variables, acc, device_corpus)
             metrics_at = lambda step_i: jax.tree.map(
                 lambda x: x[step_i - first], metrics_seq)
             metrics = metrics_seq
