@@ -48,7 +48,7 @@ def main() -> None:
 
     from ste_gan_tpu.config import load_config
     from ste_gan_tpu.export import export_emg_encoder, save_exported
-    from ste_gan_tpu.models.emg_encoder import EMGEncoderTransformer
+    from ste_gan_tpu.models.emg_encoder import init_emg_encoder
     from ste_gan_tpu.train.checkpoint import load_pytree
     from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
 
@@ -57,9 +57,12 @@ def main() -> None:
     cfg = load_config(config=config_path)
     channels = cfg.data.num_emg_channels
 
-    model = EMGEncoderTransformer(**(cfg.emg_encoder.params or {}))
+    # The factory validates cfg.emg_encoder.type and wires the channel /
+    # head dims from the config (models/emg_encoder.py:103).
+    model = init_emg_encoder(cfg)
+    min_len = 16 * (int(model.relative_positional_distance) + 1)
     template = jax.jit(lambda r: model.init(
-        r, jnp.zeros((1, 16 * 101, channels)), train=False))(
+        r, jnp.zeros((1, min_len, channels)), train=False))(
         jax.random.PRNGKey(0))
     variables = load_pytree(args.ckpt, template)
 

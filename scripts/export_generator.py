@@ -124,9 +124,14 @@ def main() -> None:
         compile_s = time.perf_counter() - start
         want = export_gen.apply({"params": state.gen_params}, feats, sess)
         diff = float(jnp.max(jnp.abs(got - want)))
+        # bf16 artifacts are not bit-reproducible across recompiles (the
+        # --dtype help text's caveat): fusion-order differences between the
+        # deserialized StableHLO and the freshly traced program are normal
+        # at bf16 resolution, so the gate widens accordingly.
+        tol = 1e-4 if args.dtype == "float32" else 5e-2
         print(f"verify: out {got.shape}, max |artifact - framework| = "
-              f"{diff:.2e} (first-call {compile_s:.1f}s)")
-        if diff > 1e-4:
+              f"{diff:.2e} (tol {tol:g}, first-call {compile_s:.1f}s)")
+        if diff > tol:
             raise SystemExit("verification FAILED")
 
 

@@ -24,7 +24,7 @@ example instead of ~300 KB.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Dict, Iterator, Optional
 
 import jax
@@ -58,13 +58,17 @@ class DeviceCorpus:
     mfccs: Optional[jax.Array]  # [N, 2*Lmax, M] float or None
     session_index: jax.Array  # [N] int32
     speaking_mode_index: jax.Array  # [N] int32
-    unit_lengths: tuple       # [N] host ints — true (unpadded) frame counts
     emg_train_length: int
     hopsize: int
+    #: [N] host ints — true (unpadded) frame counts. Host-side only (the
+    #: IndexLoader draws crop starts from it); an ``init=False`` field so
+    #: pytree registration excludes it — the jit dispatch cache must not
+    #: hash an N-element tuple per step. Set via :meth:`with_unit_lengths`.
+    unit_lengths: tuple = field(default=(), init=False)
 
-    def __post_init__(self):
-        # Hashable static metadata (pytree aux data must support ==/hash).
-        self.unit_lengths = tuple(int(x) for x in self.unit_lengths)
+    def with_unit_lengths(self, lengths) -> "DeviceCorpus":
+        self.unit_lengths = tuple(int(x) for x in lengths)
+        return self
 
     @property
     def frames(self) -> int:
@@ -128,8 +132,8 @@ class DeviceCorpus:
             emg=put(emg), speech_units=put(units), phonemes=put(phonemes),
             mfccs=put(mfccs) if mfccs is not None else None,
             session_index=put(session), speaking_mode_index=put(mode),
-            unit_lengths=unit_lengths, emg_train_length=emg_train_length,
-            hopsize=hopsize)
+            emg_train_length=emg_train_length,
+            hopsize=hopsize).with_unit_lengths(unit_lengths)
 
     # ------------------------------------------------------------------
     def gather(self, rows: jax.Array, starts: jax.Array) -> Dict[str, jax.Array]:
@@ -167,7 +171,7 @@ jax.tree_util.register_dataclass(
     DeviceCorpus,
     data_fields=["emg", "speech_units", "phonemes", "mfccs",
                  "session_index", "speaking_mode_index"],
-    meta_fields=["unit_lengths", "emg_train_length", "hopsize"])
+    meta_fields=["emg_train_length", "hopsize"])
 
 
 class IndexLoader:

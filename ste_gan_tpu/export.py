@@ -35,10 +35,8 @@ from ste_gan_tpu import constants as C
 def speech_feature_dim(cfg) -> int:
     """Generator input feature width from the run config (256 soft speech
     units at 50 Hz, or 25 MFCCs at 100 Hz — reference generator.py:176-181).
-    """
-    if cfg.model.speech_feature_type == C.DataType.MFCCS:
-        return C.NUM_MFCCS
-    return C.SPEECH_UNITS_FEAT_SIZE
+    Delegates to ``Config.speech_input_dim`` (raises on unknown types)."""
+    return cfg.speech_input_dim
 
 
 def export_generator(generator, gen_params, feature_dim: int,
@@ -104,16 +102,19 @@ def export_emg_encoder(encoder, variables, num_emg_channels: int,
     Signature: ``emg [B, 16*t, C] float32 → (units [B, t, 256],
     phoneme_logits [B, t, 48])`` with symbolic batch and length. The EMG
     length must be a multiple of 16 (the model's downsample factor) and at
-    least ``16*101`` samples: the relative-position attention switches to
-    its windowed-masking form above 100 frames (transformer.py
+    least ``16*(D+1)`` samples where ``D`` is the encoder's
+    ``relative_positional_distance`` (default 100 → 1,616 samples =
+    2.02 s): the relative-position attention switches to its
+    windowed-masking form above ``D`` frames (transformer.py
     ``max_distance``), and the export pins that regime via the symbolic
-    constraint ``t >= 101`` — full utterances always run there; pad
-    shorter inputs to 1,616 samples (2.02 s)."""
+    constraint ``t >= D+1`` — full utterances always run there; pad
+    shorter inputs up to the minimum."""
 
     def decode(emg):
         return encoder.apply(variables, emg, train=False)
 
-    scope = jax.export.SymbolicScope(["t >= 101"])
+    min_frames = int(encoder.relative_positional_distance) + 1
+    scope = jax.export.SymbolicScope([f"t >= {min_frames}"])
     b, t16 = jax.export.symbolic_shape("b, 16*t", scope=scope)
     kwargs = {}
     if platforms is not None:
