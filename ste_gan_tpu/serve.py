@@ -313,13 +313,58 @@ class SynthesisService:
         self.batcher.close()
 
 
+class EMGDecoderService:
+    """EMG → (soft speech units, phoneme logits) from an exported encoder
+    artifact (``scripts/export_emg_encoder.py``) — the silent-speech
+    *decoding* direction, served next to synthesis. Lengths are bucketed
+    (multiples of ``bucket`` 50 Hz frames, floor ``min_frames`` — the
+    artifact's windowed rel-pos regime) so the compiled-program cache
+    stays tiny.
+
+    Caveat: the encoder's attention is global and unmasked (as in the
+    reference, which only ever evaluates exact-length batch-1 signals), so
+    zero-padding to the bucket perturbs valid-frame outputs slightly —
+    the same effect as decoding a zero-padded recording. ``bucket=1``
+    (pad only to the 16-sample hop) minimizes it at the cost of one
+    compiled program per distinct length; the synthesis-quality benchmark
+    decodes 64-frame-bucketed signals at 99.95% phoneme accuracy, so the
+    default is fine in practice."""
+
+    def __init__(self, artifact: Path, bucket: int = 64,
+                 min_frames: int = 101):
+        from ste_gan_tpu.export import load_exported
+
+        self._exported = load_exported(artifact)
+        self.bucket = max(1, bucket)
+        self.min_frames = min_frames
+
+    def decode(self, emg: np.ndarray):
+        """[T, C] float32 EMG → (units [t, 256], phoneme_logits [t, 48])
+        with t = T // 16 (trailing partial frame dropped)."""
+        emg = np.asarray(emg, np.float32)
+        frames = len(emg) // C.HOPSIZE
+        if frames < 1:
+            raise ValueError(f"EMG too short: {len(emg)} samples "
+                             f"(< {C.HOPSIZE})")
+        pad = max(self.min_frames, _round_up(frames, self.bucket))
+        padded = np.zeros((1, pad * C.HOPSIZE, emg.shape[1]), np.float32)
+        padded[0, : frames * C.HOPSIZE] = emg[: frames * C.HOPSIZE]
+        units, ph = self._exported.call(padded)
+        return (np.asarray(units[0, :frames]), np.asarray(ph[0, :frames]))
+
+    def warmup(self, channels: int = C.NUM_EMG_CHANNELS) -> None:
+        self.decode(np.zeros((self.min_frames * C.HOPSIZE, channels),
+                             np.float32))
+
+
 # ---------------------------------------------------------------------------
 # HTTP front-end (stdlib; npz in, npy out)
 # ---------------------------------------------------------------------------
 
 
 def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
-                     port: int = 8571):
+                     port: int = 8571,
+                     decoder: Optional[EMGDecoderService] = None):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
@@ -358,6 +403,26 @@ def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
                     emg = service.synthesize(feats, session, mode)
                     buf = io.BytesIO()
                     np.save(buf, emg)
+                    data = buf.getvalue()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif self.path == "/decode":
+                    # EMG -> (units, phoneme logits): npz {emg [T,C] f32}
+                    # in, npz {units, phoneme_logits} out.
+                    if decoder is None:
+                        self._json(404, {"error": "no decoder loaded "
+                                         "(--decoder_artifact)"})
+                        return
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = np.load(io.BytesIO(self.rfile.read(length)),
+                                      allow_pickle=False)
+                    units, ph = decoder.decode(payload["emg"])
+                    buf = io.BytesIO()
+                    np.savez(buf, units=units, phoneme_logits=ph)
                     data = buf.getvalue()
                     self.send_response(200)
                     self.send_header("Content-Type",
@@ -432,6 +497,10 @@ def main() -> None:
                     choices=("default", "cpu"),
                     help="backend to serve on; multi-platform artifacts "
                          "run on CPU hosts with --device cpu")
+    ap.add_argument("--decoder_artifact", type=Path, default=None,
+                    help="exported EMG-encoder artifact "
+                         "(scripts/export_emg_encoder.py); enables "
+                         "POST /decode (EMG -> units + phonemes)")
     args = ap.parse_args()
 
     from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
@@ -450,11 +519,18 @@ def main() -> None:
             args.run_dir, tag=args.tag, max_batch=args.max_batch,
             max_wait_ms=args.max_wait_ms, bucket=args.bucket,
             max_queue=args.max_queue)
+    decoder = None
+    if args.decoder_artifact is not None:
+        decoder = EMGDecoderService(args.decoder_artifact,
+                                    bucket=args.bucket)
     print(f"warming up (bucket={args.bucket})...", flush=True)
     service.warmup(num_frames=args.bucket, batch_sizes=(1,))
-    server = make_http_server(service, args.host, args.port)
+    if decoder is not None:
+        decoder.warmup()
+    server = make_http_server(service, args.host, args.port, decoder=decoder)
+    endpoints = "POST /synthesize" + (", POST /decode" if decoder else "")
     print(f"serving speech->EMG on http://{args.host}:{args.port} "
-          f"(POST /synthesize, GET /healthz, GET /stats)", flush=True)
+          f"({endpoints}, GET /healthz, GET /stats)", flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

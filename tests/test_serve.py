@@ -257,3 +257,61 @@ class TestArtifactService:
         with pytest.raises(NotImplementedError):
             artifact_service.synthesize_stream(
                 np.zeros((8, 256), np.float32), 0)
+
+
+class TestDecodeEndpoint:
+    """POST /decode: EMG -> (units, phoneme logits) through an exported
+    encoder artifact — the silent-speech decoding direction served next to
+    synthesis."""
+
+    @pytest.fixture(scope="class")
+    def decoder_setup(self, tmp_path_factory):
+        from ste_gan_tpu.export import export_emg_encoder, save_exported
+        from ste_gan_tpu.models.emg_encoder import EMGEncoderTransformer
+        from ste_gan_tpu.serve import EMGDecoderService
+
+        enc = EMGEncoderTransformer(model_size=64, num_transformer_layers=2,
+                                    num_heads=2)
+        variables = jax.jit(lambda r: enc.init(
+            r, jnp.zeros((1, 16 * 101, 8), jnp.float32),
+            train=False))(jax.random.PRNGKey(7))
+        path = tmp_path_factory.mktemp("dec") / "encoder.jaxexport"
+        save_exported(export_emg_encoder(enc, variables, 8), path)
+        return EMGDecoderService(path, bucket=16), enc, variables
+
+    def test_decode_http_round_trip(self, decoder_setup, small_synth, rng):
+        import io
+
+        decoder, enc, variables = decoder_setup
+        service = SynthesisService(small_synth, {}, max_batch=2,
+                                   max_wait_ms=1.0, bucket=16)
+        server = make_http_server(service, port=0, decoder=decoder)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            emg = (rng.normal(size=(16 * 104 + 7, 8)) * 0.1).astype(
+                np.float32)
+            buf = io.BytesIO()
+            np.savez(buf, emg=emg)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/decode", data=buf.getvalue(),
+                method="POST")
+            out = np.load(io.BytesIO(
+                urllib.request.urlopen(req, timeout=600).read()))
+            units, ph = out["units"], out["phoneme_logits"]
+            assert units.shape == (104, 256) and ph.shape == (104, 48)
+            # Exact vs the in-framework encoder on the same padded input.
+            frames = 104
+            padded = np.zeros((1, 112 * 16, 8), np.float32)
+            padded[0, : frames * 16] = emg[: frames * 16]
+            want_u, want_p = enc.apply(variables, jnp.asarray(padded),
+                                       train=False)
+            np.testing.assert_allclose(units,
+                                       np.asarray(want_u[0, :frames]),
+                                       atol=1e-5)
+            np.testing.assert_allclose(ph, np.asarray(want_p[0, :frames]),
+                                       atol=1e-5)
+        finally:
+            server.shutdown()
+            service.close()
