@@ -20,9 +20,12 @@ import threading
 import time
 import urllib.error
 import urllib.request
+import sys
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def client_worker(port: int, feats: np.ndarray, session: int, n_requests: int,
@@ -51,6 +54,9 @@ def client_worker(port: int, feats: np.ndarray, session: int, n_requests: int,
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--run_dir", type=Path, default=None)
+    ap.add_argument("--artifact", type=Path, default=None,
+                    help="StableHLO serving export; measures the "
+                         "checkpoint-free artifact-serving path")
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--requests", type=int, default=100)
     ap.add_argument("--frames", type=int, default=64)
@@ -68,7 +74,11 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    if args.run_dir is not None:
+    if args.artifact is not None:
+        service = SynthesisService.from_artifact(
+            args.artifact, max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms, bucket=args.frames)
+    elif args.run_dir is not None:
         service = SynthesisService.from_run_dir(
             args.run_dir, tag="latest", max_batch=args.max_batch,
             max_wait_ms=args.max_wait_ms, bucket=args.frames)
