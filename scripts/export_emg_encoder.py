@@ -70,16 +70,24 @@ def main() -> None:
     exported = export_emg_encoder(model, variables, channels,
                                   platforms=platforms)
     out = args.out or Path(str(args.ckpt) + ".jaxexport")
-    n_bytes = save_exported(exported, out)
-    print(f"wrote {out} ({n_bytes / 1e6:.1f} MB, platforms={platforms})")
+    min_frames = int(model.relative_positional_distance) + 1
+    n_bytes = save_exported(exported, out, meta={
+        "kind": "emg_encoder",
+        "num_emg_channels": channels,
+        "min_frames": min_frames,
+    })
+    print(f"wrote {out} ({n_bytes / 1e6:.1f} MB, platforms={platforms}, "
+          f"min_frames={min_frames})")
 
     if args.verify:
         from ste_gan_tpu.export import load_exported
 
         loaded = load_exported(out)
         rng = np.random.default_rng(0)
-        emg = jnp.asarray(rng.normal(size=(1, 16 * 128, channels)) * 0.1,
-                          jnp.float32)
+        probe_frames = max(128, min_frames)
+        emg = jnp.asarray(
+            rng.normal(size=(1, 16 * probe_frames, channels)) * 0.1,
+            jnp.float32)
         start = time.perf_counter()
         su, ph = loaded.call(emg)
         compile_s = time.perf_counter() - start

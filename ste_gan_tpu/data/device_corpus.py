@@ -64,6 +64,10 @@ class DeviceCorpus:
     #: IndexLoader draws crop starts from it); an ``init=False`` field so
     #: pytree registration excludes it — the jit dispatch cache must not
     #: hash an N-element tuple per step. Set via :meth:`with_unit_lengths`.
+    #: CONSEQUENCE: any whole-tree op (tree_map, a whole-corpus device_put,
+    #: returning the corpus from jit) reconstructs with ``unit_lengths=()``
+    #: — read it only from the ``from_dataset`` instance. IndexLoader's
+    #: length assert trips loudly if an erased corpus reaches it.
     unit_lengths: tuple = field(default=(), init=False)
 
     def with_unit_lengths(self, lengths) -> "DeviceCorpus":

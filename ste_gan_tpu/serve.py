@@ -331,30 +331,80 @@ class EMGDecoderService:
     default is fine in practice."""
 
     def __init__(self, artifact: Path, bucket: int = 64,
-                 min_frames: int = 101):
+                 min_frames: Optional[int] = None, max_concurrent: int = 4):
+        import json as _json
+
         from ste_gan_tpu.export import load_exported
 
         self._exported = load_exported(artifact)
+        # Geometry from the artifact itself: channels from the concrete
+        # input aval; the minimum frame count from the meta sidecar the
+        # export CLI writes (it tracks the encoder's
+        # relative_positional_distance — see export_emg_encoder).
+        self.channels = int(self._exported.in_avals[0].shape[-1])
+        meta_path = Path(str(artifact) + ".meta.json")
+        if min_frames is None:
+            if meta_path.exists():
+                min_frames = int(_json.loads(
+                    meta_path.read_text())["min_frames"])
+            else:
+                min_frames = 101  # the default encoder's rel-pos window + 1
         self.bucket = max(1, bucket)
         self.min_frames = min_frames
+        # Bounded concurrency = the /synthesize queue's backpressure
+        # analogue: excess concurrent decodes 503 instead of piling N
+        # device calls (and N cold compiles) onto the handler threads.
+        self._slots = threading.Semaphore(max(1, max_concurrent))
+        self._lat_ms = deque(maxlen=4096)
+        self.stats = {"requests": 0, "rejected": 0}
+        self._lock = threading.Lock()
 
     def decode(self, emg: np.ndarray):
         """[T, C] float32 EMG → (units [t, 256], phoneme_logits [t, 48])
-        with t = T // 16 (trailing partial frame dropped)."""
+        with t = T // 16 (trailing partial frame dropped). Raises
+        :class:`ServiceOverloadedError` beyond ``max_concurrent``."""
         emg = np.asarray(emg, np.float32)
         frames = len(emg) // C.HOPSIZE
         if frames < 1:
             raise ValueError(f"EMG too short: {len(emg)} samples "
                              f"(< {C.HOPSIZE})")
-        pad = max(self.min_frames, _round_up(frames, self.bucket))
-        padded = np.zeros((1, pad * C.HOPSIZE, emg.shape[1]), np.float32)
-        padded[0, : frames * C.HOPSIZE] = emg[: frames * C.HOPSIZE]
-        units, ph = self._exported.call(padded)
-        return (np.asarray(units[0, :frames]), np.asarray(ph[0, :frames]))
+        if emg.shape[1] != self.channels:
+            raise ValueError(f"expected {self.channels} EMG channels, "
+                             f"got {emg.shape[1]}")
+        # Bucket AFTER applying the floor so short requests land on the
+        # same compiled shape the warmup built.
+        pad = _round_up(max(frames, self.min_frames), self.bucket)
+        if not self._slots.acquire(blocking=False):
+            with self._lock:
+                self.stats["rejected"] += 1
+            raise ServiceOverloadedError(
+                "decoder at max concurrency; retry later")
+        try:
+            start = time.perf_counter()
+            padded = np.zeros((1, pad * C.HOPSIZE, emg.shape[1]), np.float32)
+            padded[0, : frames * C.HOPSIZE] = emg[: frames * C.HOPSIZE]
+            units, ph = self._exported.call(padded)
+            out = (np.asarray(units[0, :frames]), np.asarray(ph[0, :frames]))
+        finally:
+            self._slots.release()
+        with self._lock:
+            self.stats["requests"] += 1
+            self._lat_ms.append((time.perf_counter() - start) * 1e3)
+        return out
 
-    def warmup(self, channels: int = C.NUM_EMG_CHANNELS) -> None:
-        self.decode(np.zeros((self.min_frames * C.HOPSIZE, channels),
+    def warmup(self) -> None:
+        self.decode(np.zeros((self.min_frames * C.HOPSIZE, self.channels),
                              np.float32))
+
+    def stats_snapshot(self) -> Dict:
+        with self._lock:
+            s = dict(self.stats)
+            lats = np.asarray(self._lat_ms, np.float64)
+        if len(lats):
+            p50, p95, p99 = np.percentile(lats, [50, 95, 99])
+            s.update(latency_ms_p50=float(p50), latency_ms_p95=float(p95),
+                     latency_ms_p99=float(p99))
+        return s
 
 
 # ---------------------------------------------------------------------------
@@ -379,18 +429,31 @@ def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_bytes(self, data: bytes) -> None:
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _read_npz(self):
+            length = int(self.headers.get("Content-Length", 0))
+            return np.load(io.BytesIO(self.rfile.read(length)),
+                           allow_pickle=False)
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"ok": True})
             elif self.path == "/stats":
-                self._json(200, service.batcher.stats_snapshot())
+                stats = service.batcher.stats_snapshot()
+                if decoder is not None:
+                    stats["decode"] = decoder.stats_snapshot()
+                self._json(200, stats)
             else:
                 self._json(404, {"error": "not found"})
 
         def _read_payload(self):
-            length = int(self.headers.get("Content-Length", 0))
-            payload = np.load(io.BytesIO(self.rfile.read(length)),
-                              allow_pickle=False)
+            payload = self._read_npz()
             feats = payload["feats"]
             session = payload["session"].item() if "session" in payload else 0
             mode = int(payload["mode"].item()) if "mode" in payload else 0
@@ -403,13 +466,7 @@ def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
                     emg = service.synthesize(feats, session, mode)
                     buf = io.BytesIO()
                     np.save(buf, emg)
-                    data = buf.getvalue()
-                    self.send_response(200)
-                    self.send_header("Content-Type",
-                                     "application/octet-stream")
-                    self.send_header("Content-Length", str(len(data)))
-                    self.end_headers()
-                    self.wfile.write(data)
+                    self._send_bytes(buf.getvalue())
                 elif self.path == "/decode":
                     # EMG -> (units, phoneme logits): npz {emg [T,C] f32}
                     # in, npz {units, phoneme_logits} out.
@@ -417,19 +474,10 @@ def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
                         self._json(404, {"error": "no decoder loaded "
                                          "(--decoder_artifact)"})
                         return
-                    length = int(self.headers.get("Content-Length", 0))
-                    payload = np.load(io.BytesIO(self.rfile.read(length)),
-                                      allow_pickle=False)
-                    units, ph = decoder.decode(payload["emg"])
+                    units, ph = decoder.decode(self._read_npz()["emg"])
                     buf = io.BytesIO()
                     np.savez(buf, units=units, phoneme_logits=ph)
-                    data = buf.getvalue()
-                    self.send_response(200)
-                    self.send_header("Content-Type",
-                                     "application/octet-stream")
-                    self.send_header("Content-Length", str(len(data)))
-                    self.end_headers()
-                    self.wfile.write(data)
+                    self._send_bytes(buf.getvalue())
                 elif self.path == "/synthesize_stream":
                     # Length-prefixed f32 chunk frames: each chunk is
                     # 8-byte big-endian byte count + raw float32 [n, C]
