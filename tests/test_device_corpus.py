@@ -125,3 +125,39 @@ def test_trainer_device_resident_matches_host_pipeline(corpus_root, tmp_path):
         np.testing.assert_allclose(
             vals["device"][key], vals["host"][key], rtol=1e-4, atol=1e-5,
             err_msg=f"{key} diverged between device-resident and host input")
+
+
+def test_trainer_device_resident_matches_host_on_mesh(corpus_root, tmp_path):
+    """Same equality ON THE 8-DEVICE MESH: batch sharded over devices,
+    corpus replicated, crop descriptors sharded — the production
+    data-parallel + device-resident composition (train_gan.py wires the
+    corpus through the jitted step as a pytree argument; the gather runs
+    per-device on its batch shard)."""
+    import jax
+
+    from tests.test_train_loop import tiny_cfg
+    from ste_gan_tpu.train import train_gan
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs the 8-device virtual CPU mesh")
+
+    vals = {}
+    for name, resident in (("host", False), ("device", True)):
+        cfg = tiny_cfg(corpus_root)
+        cfg.train.batch_size = 8  # one example per device
+        cfg.train.data_parallel = 8
+        cfg.train.max_steps = 4
+        cfg.train.interval_valid = 4
+        cfg.train.interval_save = 4
+        cfg.train.transfer_dtype = "float32"
+        cfg.train.device_resident_data = resident
+        run_dir = tmp_path / f"mesh_{name}"
+        vals[name] = train_gan.train(cfg, run_dir, resume=False, debug=False)
+        assert (run_dir / ".done").exists()
+
+    for key in vals["host"]:
+        np.testing.assert_allclose(
+            vals["device"][key], vals["host"][key], rtol=1e-4, atol=1e-5,
+            err_msg=f"{key} diverged between device-resident and host "
+                    "input on the mesh")
