@@ -72,6 +72,11 @@ def main() -> None:
         # ch, 7-layer scale discs). The shipped protocol uses small discs
         # (reference configs/ste_gan_base_gantts.yaml:11).
         cfg.model.discriminator_small = False
+    resident = bool(os.environ.get("STE_BENCH_RESIDENT"))
+    # STE_BENCH_RESIDENT=1: the PRODUCTION step — crops gathered from a
+    # device-resident corpus INSIDE the jitted step (synthetic_large-scale
+    # corpus shape; measured <=1 ms over the bare step — XLA overlaps the
+    # gather with the step's conv work).
     models = build_models(cfg)
     rng = jax.random.PRNGKey(0)
     encoder_variables = jax.jit(lambda r: models.encoder.init(
@@ -99,7 +104,36 @@ def main() -> None:
         C.DataType.SPEAKING_MODE_INDEX: jnp.zeros((b,), jnp.int32),
     })
 
-    step = jax.jit(make_train_step(cfg, models), donate_argnums=0)
+    raw_step = make_train_step(cfg, models)
+    if resident:
+        from ste_gan_tpu.data.device_corpus import DeviceCorpus
+
+        n_utts, lmax = 960, 2 * frames  # synthetic_large-scale corpus
+        corpus = DeviceCorpus(
+            emg=jnp.asarray(np.tanh(rng_np.normal(
+                0, 0.4, (n_utts, lmax * C.HOPSIZE, 8))), jnp.float16),
+            speech_units=jnp.asarray(
+                rng_np.normal(size=(n_utts, lmax, 256)), jnp.float16),
+            phonemes=jnp.asarray(rng_np.integers(
+                0, C.NUM_PHONEMES, (n_utts, lmax)), jnp.int32),
+            mfccs=None,
+            session_index=jnp.asarray(rng_np.integers(
+                0, C.NUM_EMG_SESSIONS, (n_utts,)), jnp.int32),
+            speaking_mode_index=jnp.zeros((n_utts,), jnp.int32),
+            emg_train_length=chunk, hopsize=C.HOPSIZE)
+        batch = shard_batch(mesh, {
+            "rows": jnp.asarray(rng_np.integers(0, n_utts, (b,)), jnp.int32),
+            "starts": jnp.asarray(
+                rng_np.integers(0, lmax - frames + 1, (b,)), jnp.int32)})
+        # Corpus as a jit ARGUMENT (registered pytree), like the trainers —
+        # a closure would ship the whole corpus in the compile payload.
+        jit_resident = jax.jit(
+            lambda st, idx, ev, cp: raw_step(
+                st, cp.gather(idx["rows"], idx["starts"]), ev),
+            donate_argnums=0)
+        step = lambda st, idx, ev: jit_resident(st, idx, ev, corpus)
+    else:
+        step = jax.jit(raw_step, donate_argnums=0)
 
     # Warmup / compile.
     compile_start = time.perf_counter()
