@@ -53,6 +53,27 @@ class TestSynthesizer:
         assert streamed.shape == full.shape
         np.testing.assert_allclose(streamed, full, atol=2e-4)
 
+    def test_streaming_matches_full_mfcc_variant(self, rng):
+        """Receptive-field-exact streaming on the x8-upsample MFCC
+        configuration (100 Hz inputs): the halo arithmetic must hold for
+        both upsample factors (reference generator.py:116,127)."""
+        gen = EMGGeneratorGanTTS(speech_feature_type=C.DataType.MFCCS,
+                                 speech_input_dim=C.NUM_MFCCS,
+                                 num_sessions=4, channels=32)
+        feats0 = jnp.zeros((1, 8, C.NUM_MFCCS))
+        ids = jnp.zeros((1,), jnp.int32)
+        params = gen.init(jax.random.PRNGKey(3), feats0, ids, ids)["params"]
+        synth = EMGSynthesizer(gen, params)
+        assert synth.upsample == 8
+        feats = rng.normal(size=(300, C.NUM_MFCCS)).astype(np.float32)
+        full = synth.synthesize(feats, session_idx=1)
+        assert full.shape == (300 * 8, C.NUM_EMG_CHANNELS)
+        chunks = list(synth.synthesize_streaming(feats, session_idx=1,
+                                                 chunk_frames=64))
+        streamed = np.concatenate(chunks, axis=0)
+        assert streamed.shape == full.shape
+        np.testing.assert_allclose(streamed, full, atol=2e-4)
+
     def test_convert_dataset_multi_session(self, small_gen, tmp_path):
         gen, params = small_gen
         corpus = tmp_path / "corpus"
