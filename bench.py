@@ -92,34 +92,28 @@ def main() -> None:
     b, chunk = cfg.train.batch_size, cfg.train.chunk_size
     frames = chunk // C.HOPSIZE
     rng_np = np.random.default_rng(0)
-    batch = shard_batch(mesh, {
-        C.DataType.REAL_EMG: jnp.asarray(
-            np.tanh(rng_np.normal(0, 0.4, (b, chunk, 8))), jnp.float32),
-        C.DataType.SPEECH_UNITS: jnp.asarray(
-            rng_np.normal(size=(b, frames, 256)), jnp.float32),
-        C.DataType.PHONEMES: jnp.asarray(
-            rng_np.integers(0, C.NUM_PHONEMES, (b, frames)), jnp.int32),
-        C.DataType.SESSION_INDEX: jnp.asarray(
-            rng_np.integers(0, C.NUM_EMG_SESSIONS, (b,)), jnp.int32),
-        C.DataType.SPEAKING_MODE_INDEX: jnp.zeros((b,), jnp.int32),
-    })
 
     raw_step = make_train_step(cfg, models)
     if resident:
         from ste_gan_tpu.data.device_corpus import DeviceCorpus
+        from ste_gan_tpu.parallel.mesh import replicate_sharding
 
+        # Corpus replicated over the mesh exactly like the trainer
+        # (train_gan.py), so sharded descriptor batches gather locally.
+        rep = replicate_sharding(mesh)
+        put = lambda a: jax.device_put(a, rep)
         n_utts, lmax = 960, 2 * frames  # synthetic_large-scale corpus
         corpus = DeviceCorpus(
-            emg=jnp.asarray(np.tanh(rng_np.normal(
-                0, 0.4, (n_utts, lmax * C.HOPSIZE, 8))), jnp.float16),
-            speech_units=jnp.asarray(
-                rng_np.normal(size=(n_utts, lmax, 256)), jnp.float16),
-            phonemes=jnp.asarray(rng_np.integers(
-                0, C.NUM_PHONEMES, (n_utts, lmax)), jnp.int32),
+            emg=put(jnp.asarray(np.tanh(rng_np.normal(
+                0, 0.4, (n_utts, lmax * C.HOPSIZE, 8))), jnp.float16)),
+            speech_units=put(jnp.asarray(
+                rng_np.normal(size=(n_utts, lmax, 256)), jnp.float16)),
+            phonemes=put(jnp.asarray(rng_np.integers(
+                0, C.NUM_PHONEMES, (n_utts, lmax)), jnp.int32)),
             mfccs=None,
-            session_index=jnp.asarray(rng_np.integers(
-                0, C.NUM_EMG_SESSIONS, (n_utts,)), jnp.int32),
-            speaking_mode_index=jnp.zeros((n_utts,), jnp.int32),
+            session_index=put(jnp.asarray(rng_np.integers(
+                0, C.NUM_EMG_SESSIONS, (n_utts,)), jnp.int32)),
+            speaking_mode_index=put(jnp.zeros((n_utts,), jnp.int32)),
             emg_train_length=chunk, hopsize=C.HOPSIZE)
         batch = shard_batch(mesh, {
             "rows": jnp.asarray(rng_np.integers(0, n_utts, (b,)), jnp.int32),
@@ -133,6 +127,17 @@ def main() -> None:
             donate_argnums=0)
         step = lambda st, idx, ev: jit_resident(st, idx, ev, corpus)
     else:
+        batch = shard_batch(mesh, {
+            C.DataType.REAL_EMG: jnp.asarray(
+                np.tanh(rng_np.normal(0, 0.4, (b, chunk, 8))), jnp.float32),
+            C.DataType.SPEECH_UNITS: jnp.asarray(
+                rng_np.normal(size=(b, frames, 256)), jnp.float32),
+            C.DataType.PHONEMES: jnp.asarray(
+                rng_np.integers(0, C.NUM_PHONEMES, (b, frames)), jnp.int32),
+            C.DataType.SESSION_INDEX: jnp.asarray(
+                rng_np.integers(0, C.NUM_EMG_SESSIONS, (b,)), jnp.int32),
+            C.DataType.SPEAKING_MODE_INDEX: jnp.zeros((b,), jnp.int32),
+        })
         step = jax.jit(raw_step, donate_argnums=0)
 
     # Warmup / compile.

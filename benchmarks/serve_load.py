@@ -62,9 +62,16 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
-    ap.add_argument("--out", type=Path,
-                    default=Path(__file__).parent / "serve_load.json")
+    ap.add_argument("--out", type=Path, default=None,
+                    help="output JSON (default: serve_load.json, or "
+                         "serve_load_artifact.json in --artifact mode so "
+                         "the two committed records never clobber each "
+                         "other)")
     args = ap.parse_args()
+    if args.out is None:
+        name = ("serve_load_artifact.json" if args.artifact is not None
+                else "serve_load.json")
+        args.out = Path(__file__).parent / name
 
     import jax
     import jax.numpy as jnp

@@ -59,23 +59,38 @@ def denoise(audio: np.ndarray, noise_clip: np.ndarray,
     try:
         import noisereduce
 
-        return noisereduce.reduce_noise(y=audio, y_noise=noise_clip,
-                                        sr=sample_rate)
-    except (ImportError, AttributeError):
+        try:
+            # noisereduce >= 2.x signature.
+            return noisereduce.reduce_noise(y=audio, y_noise=noise_clip,
+                                            sr=sample_rate)
+        except TypeError:
+            # 1.x signature — the version the reference used
+            # (reference scripts/clean_audio.py: audio_clip/noise_clip).
+            return noisereduce.reduce_noise(audio_clip=audio,
+                                            noise_clip=noise_clip)
+    except (ImportError, AttributeError, TypeError):
         return spectral_gate_denoise(audio, noise_clip, sample_rate)
+
+
+#: Lazily-loaded MetricGAN+ enhancer, one instance per process — the
+#: reference likewise loads it once before its file loop, not per file.
+_ENHANCER = None
 
 
 def maybe_enhance(audio: np.ndarray, sample_rate: int = 16_000) -> np.ndarray:
     """speechbrain MetricGAN+ enhancement when available (reference
     clean_audio.py:74-97); identity otherwise."""
+    global _ENHANCER
     try:
         import torch
         from speechbrain.pretrained import SpectralMaskEnhancement
 
-        enhancer = SpectralMaskEnhancement.from_hparams(
-            source="speechbrain/metricgan-plus-voicebank")
+        if _ENHANCER is None:
+            _ENHANCER = SpectralMaskEnhancement.from_hparams(
+                source="speechbrain/metricgan-plus-voicebank",
+                savedir="pretrained_models/metricgan-plus-voicebank")
         noisy = torch.from_numpy(audio[None]).float()
-        enhanced = enhancer.enhance_batch(noisy, lengths=torch.tensor([1.0]))
+        enhanced = _ENHANCER.enhance_batch(noisy, lengths=torch.tensor([1.0]))
         return enhanced.squeeze(0).numpy()
     except (ImportError, AttributeError):
         return audio

@@ -23,17 +23,14 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ste_gan_tpu.config import load_config
 from ste_gan_tpu.export import (export_generator, generator_meta,
                                 load_exported, save_exported,
                                 speech_feature_dim)
 from ste_gan_tpu.models.generator import init_emg_generator
-from ste_gan_tpu.train.checkpoint import CheckpointManager
-from ste_gan_tpu.train.gan import build_models, init_state
+from ste_gan_tpu.train.gan import load_trained_state
 from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
 
 
@@ -74,18 +71,7 @@ def main() -> None:
         force_platform("cpu")
     enable_compilation_cache()
     run_dir = Path(args.run_dir)
-    cfg = load_config(config=run_dir / "config.yaml")
-
-    models = build_models(cfg)
-    template = init_state(cfg, models, jax.random.PRNGKey(0))
-    ckpt = CheckpointManager(run_dir)
-    if args.tag == "latest":
-        restored = ckpt.restore_latest(template)
-        if restored is None:
-            raise FileNotFoundError(f"no checkpoints in {run_dir}")
-        state, _ = restored
-    else:
-        state, _ = ckpt.restore(args.tag, template)
+    cfg, _, state = load_trained_state(run_dir, args.tag)
 
     feature_dim = speech_feature_dim(cfg)
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())

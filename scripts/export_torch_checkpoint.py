@@ -71,20 +71,10 @@ def main() -> None:
         print(f"wrote {out} ({len(sd)} tensors)")
         return
 
-    from ste_gan_tpu.train.gan import build_models, init_state
+    from ste_gan_tpu.train.gan import load_trained_state
 
     run_dir = Path(args.run_dir)
-    cfg = load_config(config=run_dir / "config.yaml")
-    models = build_models(cfg)
-    template = init_state(cfg, models, jax.random.PRNGKey(0))
-    ckpt = CheckpointManager(run_dir)
-    if args.tag == "latest":
-        restored = ckpt.restore_latest(template)
-        if restored is None:
-            raise FileNotFoundError(f"no checkpoints in {run_dir}")
-        state, _ = restored
-    else:
-        state, _ = ckpt.restore(args.tag, template)
+    cfg, _, state = load_trained_state(run_dir, args.tag)
 
     out_dir = args.out_dir or run_dir / "export"
     out_dir.mkdir(parents=True, exist_ok=True)

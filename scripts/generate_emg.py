@@ -22,28 +22,17 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-import jax
-
 from ste_gan_tpu import constants as C
 from ste_gan_tpu.config import load_config
 from ste_gan_tpu.data.dataset import EMGDataset
 from ste_gan_tpu.infer import EMGSynthesizer, convert_dataset
-from ste_gan_tpu.train.checkpoint import CheckpointManager
-from ste_gan_tpu.train.gan import build_models, init_state
+from ste_gan_tpu.train.gan import load_trained_state
 from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
 
 
 def load_generator_params(cfg, run_dir: Path, tag: str):
-    models = build_models(cfg)
-    template = init_state(cfg, models, jax.random.PRNGKey(0))
-    ckpt = CheckpointManager(run_dir)
-    if tag == "latest":
-        restored = ckpt.restore_latest(template)
-        if restored is None:
-            raise FileNotFoundError(f"no checkpoints in {run_dir}")
-        state, _ = restored
-    else:
-        state, _ = ckpt.restore(tag, template)
+    del cfg  # the run dir's config snapshot is authoritative
+    _, models, state = load_trained_state(run_dir, tag)
     return models, state.gen_params
 
 

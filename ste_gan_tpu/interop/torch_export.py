@@ -31,8 +31,8 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-from ste_gan_tpu import constants as C
 from ste_gan_tpu.interop.torch_import import PRIME_PERIODS
+from ste_gan_tpu.models.generator import gblock_spec
 
 
 def _t_conv(w) -> np.ndarray:
@@ -103,9 +103,9 @@ def generator_params_to_state_dict(params: Dict,
             params["speaking_mode_embeddings"]["embedding"], np.float32)
 
     _wn(sd, "gblocks.0", params["input_conv"])
-    upsample_last = 2 if speech_feature_type == C.DataType.SPEECH_UNITS else 1
-    ups = (1, 1, 2, 2, 2, upsample_last, 1, 1)  # generator.py block_spec
-    for i, up in enumerate(ups):
+    # The Sequential indices below depend on which blocks upsample — taken
+    # from the model's own spec so exporter and forward cannot drift.
+    for i, (_, up) in enumerate(gblock_spec(speech_feature_type)):
         p = params[f"gblock_{i}"]
         prefix = f"gblocks.{i + 1}"
         off = 1 if up > 1 else 0  # the optional nn.Upsample shifts indices

@@ -18,7 +18,7 @@ jit with static shapes.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -90,6 +90,23 @@ class GBlock(nn.Module):
         h2 = nn.relu(h2)
         h2 = mask(wn("conv2_b", dilation=27)(h2))
         return y + h2
+
+
+def gblock_spec(speech_feature_type: str, channels: int = 768):
+    """The GBlock stack's (output_dim, upsample) rows — 2 processing
+    blocks, 4 upsampling blocks (50 → 100 → 200 → 400 → [800] Hz; the last
+    ×2 only for speech units), 2 processing blocks (reference
+    generator.py:116-131). Single source of truth shared by the model's
+    forward and the torch-layout checkpoint exporter
+    (interop/torch_export.py), whose Sequential indices depend on which
+    blocks upsample."""
+    ch = channels
+    upsample_last = 2 if speech_feature_type == C.DataType.SPEECH_UNITS else 1
+    return (
+        (ch, 1), (ch, 1),
+        (ch // 2, 2), (ch // 2, 2), (ch // 2, 2), (ch // 4, upsample_last),
+        (ch // 4, 1), (ch // 4, 1),
+    )
 
 
 class EMGGeneratorGanTTS(nn.Module):
@@ -164,16 +181,9 @@ class EMGGeneratorGanTTS(nn.Module):
         x = mask(x, num_valid, num_start)
 
         ch = self.channels
-        upsample_last = 2 if self.speech_feature_type == C.DataType.SPEECH_UNITS else 1
         x = mask(WNConv(ch, (1,), dtype=self.dtype, name="input_conv")(x),
                  num_valid, num_start)
-        # (output_dim, upsample): 2 processing blocks, 4 upsampling blocks
-        # (50 -> 100 -> 200 -> 400 -> [800] Hz), 2 processing blocks.
-        block_spec: Sequence = (
-            (ch, 1), (ch, 1),
-            (ch // 2, 2), (ch // 2, 2), (ch // 2, 2), (ch // 4, upsample_last),
-            (ch // 4, 1), (ch // 4, 1),
-        )
+        block_spec = gblock_spec(self.speech_feature_type, ch)
         for i, (out_dim, up) in enumerate(block_spec):
             x = GBlock(out_dim, upsample=up, dtype=self.dtype,
                        name=f"gblock_{i}")(x, num_valid, num_start)

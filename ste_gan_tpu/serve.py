@@ -48,6 +48,28 @@ def _round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+class LatencyWindow:
+    """Thread-safe recent-window latency reservoir + percentile snapshot —
+    shared by the micro-batcher and the decoder service."""
+
+    def __init__(self, maxlen: int = 4096):
+        self._lat = deque(maxlen=maxlen)
+        self._lock = threading.Lock()
+
+    def extend(self, ms_values) -> None:
+        with self._lock:
+            self._lat.extend(ms_values)
+
+    def percentiles(self) -> Dict:
+        with self._lock:
+            lats = np.asarray(self._lat, np.float64)
+        if not len(lats):
+            return {}
+        p50, p95, p99 = np.percentile(lats, [50, 95, 99])
+        return {"latency_ms_p50": float(p50), "latency_ms_p95": float(p95),
+                "latency_ms_p99": float(p99)}
+
+
 class ServiceOverloadedError(RuntimeError):
     """Raised by :meth:`MicroBatcher.submit` when the bounded request
     queue is full — backpressure instead of silent unbounded growth. The
@@ -86,7 +108,7 @@ class MicroBatcher:
             "max_batch_seen": 0, "latency_ms_sum": 0.0, "rejected": 0,
         }
         # Recent-window reservoirs for percentile/occupancy reporting.
-        self._lat_ms = deque(maxlen=4096)
+        self._lat_ms = LatencyWindow()
         self._batch_sizes = deque(maxlen=4096)
         self._stats_lock = threading.Lock()
         self._thread.start()
@@ -174,8 +196,8 @@ class MicroBatcher:
                     s["max_batch_seen"] = max(s["max_batch_seen"], len(batch))
                     lats = [(now - r.enqueued_at) * 1e3 for r in batch]
                     s["latency_ms_sum"] += sum(lats)
-                    self._lat_ms.extend(lats)
                     self._batch_sizes.append(len(batch))
+                self._lat_ms.extend(lats)
             except Exception as exc:  # propagate to every waiter
                 for r in batch:
                     r.error = exc
@@ -184,14 +206,10 @@ class MicroBatcher:
     def stats_snapshot(self) -> Dict:
         with self._stats_lock:
             s = dict(self.stats)
-            lats = np.asarray(self._lat_ms, np.float64)
             sizes = np.asarray(self._batch_sizes, np.float64)
         s["mean_latency_ms"] = (s["latency_ms_sum"] / s["requests"]
                                 if s["requests"] else 0.0)
-        if len(lats):
-            p50, p95, p99 = np.percentile(lats, [50, 95, 99])
-            s.update(latency_ms_p50=float(p50), latency_ms_p95=float(p95),
-                     latency_ms_p99=float(p99))
+        s.update(self._lat_ms.percentiles())
         if len(sizes):
             s.update(batch_occupancy_mean=float(sizes.mean()),
                      batch_occupancy_max=int(sizes.max()))
@@ -240,25 +258,11 @@ class SynthesisService:
         """Load config snapshot + checkpoint + session vocab from a GAN
         training run directory (the same layout scripts/generate_emg.py
         consumes)."""
-        import jax
-
-        from ste_gan_tpu.config import load_config
         from ste_gan_tpu.infer import EMGSynthesizer
-        from ste_gan_tpu.train.checkpoint import CheckpointManager
-        from ste_gan_tpu.train.gan import build_models, init_state
+        from ste_gan_tpu.train.gan import load_trained_state
 
         run_dir = Path(run_dir)
-        cfg = load_config(config=run_dir / "config.yaml")
-        models = build_models(cfg)
-        template = init_state(cfg, models, jax.random.PRNGKey(0))
-        ckpt = CheckpointManager(run_dir)
-        if tag == "latest":
-            restored = ckpt.restore_latest(template)
-            if restored is None:
-                raise FileNotFoundError(f"no checkpoints in {run_dir}")
-            state, _ = restored
-        else:
-            state, _ = ckpt.restore(tag, template)
+        _, models, state = load_trained_state(run_dir, tag)
         vocab_path = run_dir / "session_idx_to_id.json"
         session_id_to_idx = {}
         if vocab_path.exists():
@@ -332,8 +336,6 @@ class EMGDecoderService:
 
     def __init__(self, artifact: Path, bucket: int = 64,
                  min_frames: Optional[int] = None, max_concurrent: int = 4):
-        import json as _json
-
         from ste_gan_tpu.export import load_exported
 
         self._exported = load_exported(artifact)
@@ -345,7 +347,7 @@ class EMGDecoderService:
         meta_path = Path(str(artifact) + ".meta.json")
         if min_frames is None:
             if meta_path.exists():
-                min_frames = int(_json.loads(
+                min_frames = int(json.loads(
                     meta_path.read_text())["min_frames"])
             else:
                 min_frames = 101  # the default encoder's rel-pos window + 1
@@ -355,7 +357,7 @@ class EMGDecoderService:
         # analogue: excess concurrent decodes 503 instead of piling N
         # device calls (and N cold compiles) onto the handler threads.
         self._slots = threading.Semaphore(max(1, max_concurrent))
-        self._lat_ms = deque(maxlen=4096)
+        self._lat_ms = LatencyWindow()
         self.stats = {"requests": 0, "rejected": 0}
         self._lock = threading.Lock()
 
@@ -389,7 +391,7 @@ class EMGDecoderService:
             self._slots.release()
         with self._lock:
             self.stats["requests"] += 1
-            self._lat_ms.append((time.perf_counter() - start) * 1e3)
+        self._lat_ms.extend([(time.perf_counter() - start) * 1e3])
         return out
 
     def warmup(self) -> None:
@@ -399,11 +401,7 @@ class EMGDecoderService:
     def stats_snapshot(self) -> Dict:
         with self._lock:
             s = dict(self.stats)
-            lats = np.asarray(self._lat_ms, np.float64)
-        if len(lats):
-            p50, p95, p99 = np.percentile(lats, [50, 95, 99])
-            s.update(latency_ms_p50=float(p50), latency_ms_p95=float(p95),
-                     latency_ms_p99=float(p99))
+        s.update(self._lat_ms.percentiles())
         return s
 
 
@@ -549,6 +547,11 @@ def main() -> None:
                     help="exported EMG-encoder artifact "
                          "(scripts/export_emg_encoder.py); enables "
                          "POST /decode (EMG -> units + phonemes)")
+    ap.add_argument("--decode_min_frames", type=int, default=None,
+                    help="override the decoder's minimum 50 Hz frame "
+                         "count (normally read from the artifact's "
+                         ".meta.json sidecar: the encoder's rel-pos "
+                         "window + 1)")
     args = ap.parse_args()
 
     from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
@@ -570,7 +573,8 @@ def main() -> None:
     decoder = None
     if args.decoder_artifact is not None:
         decoder = EMGDecoderService(args.decoder_artifact,
-                                    bucket=args.bucket)
+                                    bucket=args.bucket,
+                                    min_frames=args.decode_min_frames)
     print(f"warming up (bucket={args.bucket})...", flush=True)
     service.warmup(num_frames=args.bucket, batch_sizes=(1,))
     if decoder is not None:

@@ -349,3 +349,31 @@ def make_eval_step(cfg: Config, models: GANModels) -> Callable:
         return out
 
     return eval_step
+
+
+def load_trained_state(run_dir, tag: str = "best"
+                       ) -> Tuple[Config, GANModels, GANTrainState]:
+    """Config snapshot + models + restored train state from a training run
+    directory (the layout every downstream tool consumes:
+    scripts/generate_emg.py, the export CLIs, serve.py).
+
+    ``tag``: ``best`` | ``latest`` | ``checkpoint-XXXXXXXX``.
+    """
+    from pathlib import Path
+
+    from ste_gan_tpu.config import load_config
+    from ste_gan_tpu.train.checkpoint import CheckpointManager
+
+    run_dir = Path(run_dir)
+    cfg = load_config(config=run_dir / "config.yaml")
+    models = build_models(cfg)
+    template = init_state(cfg, models, jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(run_dir)
+    if tag == "latest":
+        restored = ckpt.restore_latest(template)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoints in {run_dir}")
+        state, _ = restored
+    else:
+        state, _ = ckpt.restore(tag, template)
+    return cfg, models, state

@@ -209,17 +209,24 @@ def test_clean_audio_enhancement_branch_with_stub_stack(raw_tree, tmp_path,
     those packages import — verified here with protocol-checking stub
     modules injected into sys.modules (the real packages are absent in this
     image; the fallback path is covered by
-    test_clean_audio_spectral_gate_fallback)."""
+    test_clean_audio_spectral_gate_fallback). The noisereduce stub speaks
+    the 1.x API the reference used (audio_clip/noise_clip) and REJECTS the
+    2.x call, so the version-compat dispatch in clean_audio.denoise is
+    exercised; the enhancer stub checks the reference's call protocol and
+    that the model is loaded once per process, not per file."""
     import types
 
     import torch
 
-    calls = {"reduce": 0, "enhance": 0}
+    calls = {"reduce": 0, "enhance": 0, "from_hparams": 0}
 
     fake_nr = types.ModuleType("noisereduce")
 
-    def reduce_noise(*, y, y_noise, sr):
-        assert sr == SR and y.ndim == 1 and y_noise.ndim == 1
+    def reduce_noise(**kwargs):
+        if "y" in kwargs:  # 2.x call — this stub is a 1.x install
+            raise TypeError("reduce_noise() got an unexpected keyword 'y'")
+        y, y_noise = kwargs["audio_clip"], kwargs["noise_clip"]
+        assert y.ndim == 1 and y_noise.ndim == 1
         calls["reduce"] += 1
         return y * 0.5
 
@@ -227,8 +234,10 @@ def test_clean_audio_enhancement_branch_with_stub_stack(raw_tree, tmp_path,
 
     class FakeEnhancer:
         @classmethod
-        def from_hparams(cls, source):
+        def from_hparams(cls, source, savedir):
             assert source == "speechbrain/metricgan-plus-voicebank"
+            assert "metricgan" in savedir
+            calls["from_hparams"] += 1
             return cls()
 
         def enhance_batch(self, noisy, lengths):
@@ -247,6 +256,7 @@ def test_clean_audio_enhancement_branch_with_stub_stack(raw_tree, tmp_path,
     monkeypatch.setitem(sys.modules, "noisereduce", fake_nr)
     monkeypatch.setitem(sys.modules, "speechbrain", fake_sb)
     monkeypatch.setitem(sys.modules, "speechbrain.pretrained", fake_sb_pre)
+    monkeypatch.setattr(clean_audio, "_ENHANCER", None)
 
     # Fresh session dir so earlier tests' _clean outputs don't interfere.
     rng = np.random.default_rng(7)
@@ -258,6 +268,7 @@ def test_clean_audio_enhancement_branch_with_stub_stack(raw_tree, tmp_path,
     n = clean_audio.clean_directory(sess)
     assert n == 2  # noise clip + utterance
     assert calls["reduce"] == 2 and calls["enhance"] == 2
+    assert calls["from_hparams"] == 1  # loaded once, reused per file
     raw, _ = read_audio_file(sess / "1_audio.wav")
     out, _ = read_audio_file(sess / "1_audio_clean.wav")
     assert len(out) == len(raw) and np.all(np.isfinite(out))
