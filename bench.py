@@ -101,19 +101,23 @@ def main() -> None:
         # Corpus replicated over the mesh exactly like the trainer
         # (train_gan.py), so sharded descriptor batches gather locally.
         rep = replicate_sharding(mesh)
+        # device_put straight from host numpy -> ONE transfer per array
+        # (committing to the default device first would double it, and the
+        # tunnel client leaks every H2D buffer).
         put = lambda a: jax.device_put(a, rep)
         n_utts, lmax = 960, 2 * frames  # synthetic_large-scale corpus
+        f16 = np.float16
         corpus = DeviceCorpus(
-            emg=put(jnp.asarray(np.tanh(rng_np.normal(
-                0, 0.4, (n_utts, lmax * C.HOPSIZE, 8))), jnp.float16)),
-            speech_units=put(jnp.asarray(
-                rng_np.normal(size=(n_utts, lmax, 256)), jnp.float16)),
-            phonemes=put(jnp.asarray(rng_np.integers(
-                0, C.NUM_PHONEMES, (n_utts, lmax)), jnp.int32)),
+            emg=put(np.tanh(rng_np.normal(
+                0, 0.4, (n_utts, lmax * C.HOPSIZE, 8))).astype(f16)),
+            speech_units=put(
+                rng_np.normal(size=(n_utts, lmax, 256)).astype(f16)),
+            phonemes=put(rng_np.integers(
+                0, C.NUM_PHONEMES, (n_utts, lmax)).astype(np.int32)),
             mfccs=None,
-            session_index=put(jnp.asarray(rng_np.integers(
-                0, C.NUM_EMG_SESSIONS, (n_utts,)), jnp.int32)),
-            speaking_mode_index=put(jnp.zeros((n_utts,), jnp.int32)),
+            session_index=put(rng_np.integers(
+                0, C.NUM_EMG_SESSIONS, (n_utts,)).astype(np.int32)),
+            speaking_mode_index=put(np.zeros((n_utts,), np.int32)),
             emg_train_length=chunk, hopsize=C.HOPSIZE)
         batch = shard_batch(mesh, {
             "rows": jnp.asarray(rng_np.integers(0, n_utts, (b,)), jnp.int32),

@@ -68,7 +68,13 @@ def denoise(audio: np.ndarray, noise_clip: np.ndarray,
             # (reference scripts/clean_audio.py: audio_clip/noise_clip).
             return noisereduce.reduce_noise(audio_clip=audio,
                                             noise_clip=noise_clip)
-    except (ImportError, AttributeError, TypeError):
+    except (ImportError, AttributeError):
+        return spectral_gate_denoise(audio, noise_clip, sample_rate)
+    except TypeError as exc:
+        # Both noisereduce signatures rejected the call — a genuine input
+        # error, not a missing package; say so before falling back.
+        print(f"noisereduce rejected the call ({exc}); using the built-in "
+              "spectral-gate fallback", file=sys.stderr)
         return spectral_gate_denoise(audio, noise_clip, sample_rate)
 
 

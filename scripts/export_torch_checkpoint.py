@@ -48,7 +48,7 @@ def main() -> None:
     from ste_gan_tpu.interop.torch_export import (
         discriminator_params_to_state_dict, encoder_variables_to_state_dict,
         generator_params_to_state_dict, to_torch_tensors)
-    from ste_gan_tpu.train.checkpoint import CheckpointManager, load_pytree
+    from ste_gan_tpu.train.checkpoint import load_pytree
 
     if args.encoder_ckpt is not None:
         import jax.numpy as jnp

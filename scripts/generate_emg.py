@@ -30,8 +30,7 @@ from ste_gan_tpu.train.gan import load_trained_state
 from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
 
 
-def load_generator_params(cfg, run_dir: Path, tag: str):
-    del cfg  # the run dir's config snapshot is authoritative
+def load_generator_params(run_dir: Path, tag: str):
     _, models, state = load_trained_state(run_dir, tag)
     return models, state.gen_params
 
@@ -61,7 +60,7 @@ def main() -> None:
                          speaking_mode_id_to_idx=mode_id_to_idx,
                          filter_by_length=False)
 
-    models, gen_params = load_generator_params(cfg, run_dir, args.tag)
+    models, gen_params = load_generator_params(run_dir, args.tag)
     synth = EMGSynthesizer(models.generator, gen_params, bucket=args.bucket)
 
     # First pass compiles each bucket length (slow through a remote tunnel);

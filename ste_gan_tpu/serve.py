@@ -56,6 +56,10 @@ class LatencyWindow:
         self._lat = deque(maxlen=maxlen)
         self._lock = threading.Lock()
 
+    def record(self, ms: float) -> None:
+        with self._lock:
+            self._lat.append(ms)
+
     def extend(self, ms_values) -> None:
         with self._lock:
             self._lat.extend(ms_values)
@@ -391,7 +395,7 @@ class EMGDecoderService:
             self._slots.release()
         with self._lock:
             self.stats["requests"] += 1
-        self._lat_ms.extend([(time.perf_counter() - start) * 1e3])
+        self._lat_ms.record((time.perf_counter() - start) * 1e3)
         return out
 
     def warmup(self) -> None:
