@@ -4,3 +4,9 @@ from ste_gan_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
+from ste_gan_tpu.parallel.tensor_parallel import (  # noqa: F401
+    create_mesh_2d,
+    shard_batch_2d,
+    shard_state,
+    state_shardings,
+)
