@@ -107,6 +107,15 @@ class TrainConfig:
     lr_decay_gamma: float = C.LR_DECAY_GAMMA
     #: Size of the data-parallel mesh axis; <=0 means "all local devices".
     data_parallel: int = -1
+    #: Size of the tensor-parallel ("model") mesh axis (1 = off). When >1
+    #: the trainer builds a 2-D (data, model) mesh and places the train
+    #: state under the output-channel sharding rule
+    #: (parallel/tensor_parallel.py) — parameters and AdamW moments split
+    #: into per-device slabs, the batch shards over 'data' only, and GSPMD
+    #: partitions the unchanged fused step (trajectory-equal to 1-D mode;
+    #: tests/test_tensor_parallel.py). Requires data_parallel*model_parallel
+    #: devices. Useful when per-device memory, not throughput, binds.
+    model_parallel: int = 1
     #: Flat single-buffer AdamW (ops/flat_adamw.py): identical math to
     #: optax.adamw but ONE fused elementwise chain over all parameter
     #: leaves — 4.6 vs 11.4 ms per dual-net update in isolation on v5e
@@ -284,6 +293,7 @@ def apply_cli_overrides(cfg: Config, args: argparse.Namespace) -> Config:
     _maybe("chunk_size", "chunk_size", lambda v: v > 0)
     _maybe("batch_size", "batch_size", lambda v: v > 0)
     _maybe("max_steps", "max_steps", lambda v: v > 0)
+    _maybe("model_parallel", "model_parallel", lambda v: v > 0)
 
     sft = getattr(args, "speech_feature_type", "") or ""
     if sft.strip():
@@ -316,6 +326,10 @@ def add_eval_hyperparams_to_parser(parser: argparse.ArgumentParser) -> argparse.
                         help="Global batch size (<0 keeps config value).")
     parser.add_argument("--max_steps", type=int, default=-1,
                         help="Maximum training steps (<0 keeps config value).")
+    parser.add_argument("--model_parallel", type=int, default=-1,
+                        help="Tensor-parallel mesh axis size; >1 shards the "
+                             "train state over a 2-D (data, model) mesh "
+                             "(<=0 keeps config value; TPU-native extension).")
     return parser
 
 

@@ -119,10 +119,25 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     checkpoint (or run) directory instead of the run dir's latest."""
     model_directory = Path(model_directory)
     writer = MetricLogger(model_directory)
+    model_parallel = max(1, int(getattr(cfg.train, "model_parallel", 1)))
     requested = (cfg.train.data_parallel if cfg.train.data_parallel > 0
-                 else len(jax.devices()))
-    mesh = create_mesh(largest_divisor_mesh_size(cfg.train.batch_size, requested))
-    logging.info("Mesh: %s over %d device(s)", mesh.axis_names, mesh.size)
+                 else len(jax.devices()) // model_parallel)
+    data_size = largest_divisor_mesh_size(cfg.train.batch_size, requested)
+    if model_parallel > 1:
+        # 2-D (data, model) mesh: state sharded into output-channel slabs
+        # over 'model' (parallel/tensor_parallel.py), batch over 'data';
+        # the SAME step function — GSPMD partitions it.
+        from ste_gan_tpu.parallel.tensor_parallel import (
+            create_mesh_2d, shard_batch_2d, shard_state)
+        mesh = create_mesh_2d(data_size, model_parallel)
+        place_tree = partial(shard_state, mesh)
+        place_batch = partial(shard_batch_2d, mesh)
+    else:
+        mesh = create_mesh(data_size)
+        place_tree = partial(replicate, mesh)
+        place_batch = partial(shard_batch, mesh)
+    logging.info("Mesh: %s %s over %d device(s)", mesh.axis_names,
+                 dict(mesh.shape), mesh.size)
 
     models = build_models(cfg)
     rng = jax.random.PRNGKey(cfg.train.random_seed)
@@ -170,8 +185,8 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
             "per-step H2D reduced to [B] int32 crop descriptors",
             len(device_corpus.unit_lengths), device_corpus.nbytes / 2**20)
 
-    state = replicate(mesh, state)
-    encoder_variables = replicate(mesh, encoder_variables)
+    state = place_tree(state)
+    encoder_variables = place_tree(encoder_variables)
 
     # ``corpus`` is threaded through as a jit ARGUMENT (DeviceCorpus is a
     # registered pytree; None in host-pipeline mode). Closing over it would
@@ -236,7 +251,7 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
         counters = {k: 0 for k in (
             "num_phones", "num_correct", "num_silence", "num_correct_no_silence")}
         for batch in valid_loader:
-            batch = shard_batch(mesh, _drop_none(batch))
+            batch = place_batch(_drop_none(batch))
             metrics = eval_step(gen_params, batch, encoder_variables)
             for key in errors:
                 errors[key].append(float(metrics[key]))
@@ -313,10 +328,10 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
             if len(pending) == dispatch_k:
                 stacked = {k: np.stack([b[k] for b in pending])
                            for k in pending[0]}
-                yield ep, dispatch_k, shard_batch(mesh, stacked)
+                yield ep, dispatch_k, place_batch(stacked)
             else:
                 for b in pending:
-                    yield ep, 1, shard_batch(mesh, b)
+                    yield ep, 1, place_batch(b)
 
         for ep in itertools.count(start_epoch + 1):
             for host_batch in train_loader:
@@ -328,7 +343,7 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
                     produced += 1
                     # shard_batch (async device_put) runs in the prefetch
                     # thread so transfer of batch k+1 overlaps step k.
-                    yield ep, 1, shard_batch(mesh, b)
+                    yield ep, 1, place_batch(b)
                     continue
                 # Start a group only if a full one fits before max_steps
                 # (an already-started group keeps filling: its start was
@@ -341,7 +356,7 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
                         yield from flush(ep)
                 else:
                     produced += 1
-                    yield ep, 1, shard_batch(mesh, b)
+                    yield ep, 1, place_batch(b)
             yield from flush(ep)  # epoch tail -> singles
 
     acc = {}
