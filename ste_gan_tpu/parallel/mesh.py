@@ -38,23 +38,27 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """device_put every array leaf with its batch axis sharded over ``data``.
-
-    Leaves whose leading axis is not divisible by the mesh (e.g. a short
-    validation batch) are replicated instead — correct, just not
-    parallelised. Non-array leaves (None, strings) pass through untouched.
-    """
-    sharded = batch_sharding(mesh)
-    replicated = replicate_sharding(mesh)
+def place_batch_leaves(batch: Any, sharded: NamedSharding,
+                       replicated: NamedSharding, data_size: int) -> Any:
+    """device_put every array leaf under ``sharded`` when its leading axis
+    divides ``data_size``, else under ``replicated`` (e.g. a short
+    validation batch — correct, just not parallelised). Non-array leaves
+    (None, strings) pass through untouched. Shared by the 1-D and 2-D
+    batch-placement helpers so the leaf-walking rules stay in one place."""
 
     def put(leaf):
         if leaf is None or not hasattr(leaf, "shape"):
             return leaf
-        ok = leaf.ndim > 0 and leaf.shape[0] % mesh.size == 0
+        ok = leaf.ndim > 0 and leaf.shape[0] % data_size == 0
         return jax.device_put(leaf, sharded if ok else replicated)
 
     return jax.tree.map(put, batch)
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """device_put every array leaf with its batch axis sharded over ``data``."""
+    return place_batch_leaves(batch, batch_sharding(mesh),
+                              replicate_sharding(mesh), mesh.size)
 
 
 def largest_divisor_mesh_size(batch_size: int, requested: int) -> int:

@@ -40,7 +40,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ste_gan_tpu.parallel.mesh import DATA_AXIS
+from ste_gan_tpu.parallel.mesh import DATA_AXIS, place_batch_leaves
 
 MODEL_AXIS = "model"
 
@@ -110,17 +110,9 @@ def shard_state(mesh: Mesh, tree: Any) -> Any:
 def shard_batch_2d(mesh: Mesh, batch: Any) -> Any:
     """Shard the leading (batch) axis over ``data`` only; every model-axis
     replica sees the full local batch. Indivisible leaves replicate."""
-    data = mesh.shape[DATA_AXIS]
-    sharded = NamedSharding(mesh, P(DATA_AXIS))
-    replicated = NamedSharding(mesh, P())
-
-    def put(leaf):
-        if leaf is None or not hasattr(leaf, "shape"):
-            return leaf
-        ok = leaf.ndim > 0 and leaf.shape[0] % data == 0
-        return jax.device_put(leaf, sharded if ok else replicated)
-
-    return jax.tree.map(put, batch)
+    return place_batch_leaves(
+        batch, NamedSharding(mesh, P(DATA_AXIS)), NamedSharding(mesh, P()),
+        mesh.shape[DATA_AXIS])
 
 
 def sharding_summary(tree: Any, mesh: Mesh) -> Tuple[int, int, int]:

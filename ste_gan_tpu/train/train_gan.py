@@ -43,6 +43,8 @@ from ste_gan_tpu.data.loader import Prefetcher, loaders_via_config
 from ste_gan_tpu.infer import EMGSynthesizer
 from ste_gan_tpu.parallel.mesh import (
     create_mesh, largest_divisor_mesh_size, replicate, shard_batch)
+from ste_gan_tpu.parallel.tensor_parallel import (
+    create_mesh_2d, shard_batch_2d, shard_state)
 from ste_gan_tpu.train.checkpoint import (
     CheckpointManager, load_pytree, restore_from_path)
 from ste_gan_tpu.train.gan import (
@@ -127,8 +129,6 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
         # 2-D (data, model) mesh: state sharded into output-channel slabs
         # over 'model' (parallel/tensor_parallel.py), batch over 'data';
         # the SAME step function — GSPMD partitions it.
-        from ste_gan_tpu.parallel.tensor_parallel import (
-            create_mesh_2d, shard_batch_2d, shard_state)
         mesh = create_mesh_2d(data_size, model_parallel)
         place_tree = partial(shard_state, mesh)
         place_batch = partial(shard_batch_2d, mesh)

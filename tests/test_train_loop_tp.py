@@ -20,13 +20,17 @@ def _run(corpus_root, tmp_path, name, model_parallel, resident):
     cfg.train.device_resident_data = resident
     # f32 wire/storage so host and resident pipelines are bit-comparable.
     cfg.train.transfer_dtype = "float32"
+    if model_parallel > 1 and not resident:
+        # Exercise the sample-plot inference path (EMGSynthesizer driven
+        # with model-sharded gen_params) under tensor parallelism too.
+        cfg.train.interval_sample = 2
+        cfg.train.num_test_samples = 0
     run_dir = tmp_path / name
     val = train_gan.train(cfg, run_dir, resume=False, debug=False)
     assert (run_dir / ".done").exists()
-    train_loss = [
-        json.loads(line) for line in
-        (run_dir / "metrics.jsonl").read_text().splitlines()
-        if json.loads(line)["tag"] == "train_loss/generator"]
+    records = (json.loads(line) for line in
+               (run_dir / "metrics.jsonl").read_text().splitlines())
+    train_loss = [r for r in records if r["tag"] == "train_loss/generator"]
     return val, train_loss
 
 
