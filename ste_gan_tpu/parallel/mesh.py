@@ -61,6 +61,29 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
                               replicate_sharding(mesh), mesh.size)
 
 
+def constrain_batch(mesh: Mesh, batch: Any) -> Any:
+    """In-jit analogue of :func:`shard_batch`: apply
+    ``with_sharding_constraint`` over the ``data`` axis to every array leaf
+    whose leading axis divides the data-axis size (others replicate). Used
+    where a batch is CONSTRUCTED inside the jitted program — e.g. the
+    device-resident fold — so GSPMD partitions the downstream loss instead
+    of falling back to whatever the gather propagation chose. Works on both
+    the 1-D ``(data,)`` and 2-D ``(data, model)`` meshes (leaves replicate
+    over any other axes)."""
+    data_size = mesh.shape[DATA_AXIS]
+    sharded = NamedSharding(mesh, P(DATA_AXIS))
+    replicated = NamedSharding(mesh, P())
+
+    def constrain(leaf):
+        if leaf is None or not hasattr(leaf, "shape"):
+            return leaf
+        ok = leaf.ndim > 0 and leaf.shape[0] % data_size == 0
+        return jax.lax.with_sharding_constraint(
+            leaf, sharded if ok else replicated)
+
+    return jax.tree.map(constrain, batch)
+
+
 def largest_divisor_mesh_size(batch_size: int, requested: int) -> int:
     """Largest mesh size <= requested that divides the global batch."""
     n = max(1, min(requested, batch_size))

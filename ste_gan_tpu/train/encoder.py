@@ -41,6 +41,11 @@ from ste_gan_tpu.data.dataset import EMGDataset
 from ste_gan_tpu.losses.encoder_loss import PAIRWISE_EPS
 from ste_gan_tpu.models.emg_encoder import init_emg_encoder
 from ste_gan_tpu.ops.dtw import dtw_alignment
+from ste_gan_tpu.parallel.mesh import (
+    constrain_batch, create_mesh, largest_divisor_mesh_size, replicate,
+    shard_batch)
+from ste_gan_tpu.parallel.tensor_parallel import (
+    create_mesh_2d, shard_batch_2d, shard_state)
 from ste_gan_tpu.train.checkpoint import save_pytree
 from ste_gan_tpu.train.encoder_data import (
     EncoderDeviceCorpus, SizeAwareSampler, fold_encoder_batch,
@@ -348,7 +353,9 @@ def warmup_lr(batch_idx: int, target: float = EC.LEARNING_RATE,
 
 def evaluate(model, eval_step, state: EncoderTrainState, dataset: EMGDataset,
              n_win: int, max_samples: int,
-             batch_size: int = EC.BATCH_SIZE) -> Tuple[float, float, np.ndarray]:
+             batch_size: int = EC.BATCH_SIZE,
+             place_batch: Callable = jax.device_put,
+             ) -> Tuple[float, float, np.ndarray]:
     """Mean loss + phoneme accuracy + confusion over the dev set (reference
     test(); ste_gan/emg_encoder/train.py:37-63). Voiced samples use the
     vectorised jit path; silent samples (if present in the dataset) use the
@@ -361,8 +368,8 @@ def evaluate(model, eval_step, state: EncoderTrainState, dataset: EMGDataset,
     for start in range(0, len(dataset), batch_size):
         items = [dataset[i] for i in range(start, min(start + batch_size,
                                                       len(dataset)))]
-        batch = fold_encoder_batch(items, n_win=n_win,
-                                   max_samples=max_samples).as_dict()
+        batch = place_batch(fold_encoder_batch(
+            items, n_win=n_win, max_samples=max_samples).as_dict())
         out = eval_step(state.params, state.batch_stats, batch)
         batch_loss = float(out["loss"])
         correct += int(out["num_correct"])
@@ -393,13 +400,24 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
                         save_interval_epochs: int = 1,
                         device_resident_data: bool = True,
                         transfer_dtype: str = "float16",
+                        data_parallel: int = 1,
+                        model_parallel: int = 1,
                         ) -> EncoderTrainState:
     """``device_resident_data`` keeps the train split in device memory and
     folds batches on-device from {rows, num_samples} descriptors
     (EncoderDeviceCorpus) — the encoder-trainer counterpart of the GAN
     trainer's TrainConfig.device_resident_data. ``transfer_dtype``
     ("float16" | "float32") sets the float precision of training inputs on
-    either path (f16 = the validated wire/storage default)."""
+    either path (f16 = the validated wire/storage default).
+
+    ``data_parallel``/``model_parallel`` place the step over a device mesh
+    exactly like the GAN trainer: the folded batch's window/frame axes
+    shard over 'data', and model_parallel > 1 shards parameters + AdamW
+    moments into output-channel slabs over a 2-D (data, model) mesh
+    (parallel/tensor_parallel.py). data_parallel <= 0 means "all devices
+    (/ model_parallel)". The library default stays 1 (single-device) so
+    reference-parity harnesses keep bit-stable reduction order; the CLI
+    defaults to all devices."""
     output_directory = Path(output_directory)
     writer = MetricLogger(output_directory)
     model = init_emg_encoder(cfg)
@@ -453,6 +471,30 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
         batch_stats=variables["batch_stats"],
         opt_state=optimizer.init(variables["params"]))
 
+    # Device mesh (GSPMD partitions the unchanged step, so semantics are
+    # identical to single-device — BatchNorm statistics stay global-batch
+    # exact). The fold's window axis is the data-sharding unit.
+    mp = max(1, int(model_parallel))
+    requested = (data_parallel if data_parallel > 0
+                 else len(jax.devices()) // mp)
+    data_size = largest_divisor_mesh_size(n_win, max(1, requested))
+    if mp > 1:
+        mesh = create_mesh_2d(data_size, mp)
+        place_tree = lambda t: shard_state(mesh, t)
+        place_batch = lambda b: shard_batch_2d(mesh, b)
+    elif data_size > 1:
+        mesh = create_mesh(data_size)
+        place_tree = lambda t: replicate(mesh, t)
+        place_batch = lambda b: shard_batch(mesh, b)
+    else:
+        mesh = None
+        place_tree = lambda t: t
+        place_batch = jax.device_put
+    if mesh is not None:
+        logging.info("Mesh: %s %s over %d device(s)", mesh.axis_names,
+                     dict(mesh.shape), mesh.size)
+        state = place_tree(state)
+
     np_float = np.float16 if transfer_dtype == "float16" else np.float32
     base_step = make_encoder_train_step(model, max_samples,
                                         silent_pred_frames=silent_pred_frames)
@@ -461,6 +503,11 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
         device_corpus = EncoderDeviceCorpus(
             trainset, float_dtype=(jnp.float16 if np_float == np.float16
                                    else jnp.float32))
+        if mesh is not None:
+            # Replicate the corpus across the mesh (it is the gather source
+            # for every shard); the folded BATCH is what shards, via the
+            # constrain_batch annotation below.
+            device_corpus = replicate(mesh, device_corpus)
         logging.info(
             "Device-resident corpus: %d utterances, %.1f MB in device "
             "memory — per-batch H2D reduced to {rows, num_samples}",
@@ -474,6 +521,13 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
                 idx["rows"], idx["num_samples"], n_win=n_win,
                 max_samples=max_samples, max_silent=max_silent,
                 silent_target_frames=silent_target_frames)
+            if mesh is not None:
+                # The fold is gather-dominated; without an explicit
+                # constraint GSPMD inherits the gather's propagated
+                # sharding for the whole downstream loss. Pin the folded
+                # batch to the same data-axis layout shard_batch gives
+                # host-built batches so both paths run one partitioning.
+                batch = constrain_batch(mesh, batch)
             return base_step(state, batch, rng)
 
         jit_fold_step = jax.jit(step_with_fold, donate_argnums=0)
@@ -529,9 +583,13 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
                 if device_corpus is not None:
                     rows = np.zeros(max_samples, np.int32)
                     rows[:len(index_batch)] = index_batch
-                    yield jax.device_put(
-                        {"rows": rows,
-                         "num_samples": np.int32(len(index_batch))})
+                    desc = {"rows": rows,
+                            "num_samples": np.int32(len(index_batch))}
+                    # Descriptors feed a cumsum over ALL rows — replicate
+                    # them (sharding [max_samples] ints saves nothing and
+                    # costs an all-gather before the fold).
+                    yield (replicate(mesh, desc) if mesh is not None
+                           else jax.device_put(desc))
                     continue
                 items = [trainset[i] for i in index_batch]
                 batch = fold_encoder_batch(
@@ -542,7 +600,7 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
                 batch = {k: (v.astype(np_float)
                              if getattr(v, "dtype", None) == np.float32 else v)
                          for k, v in batch.items()}
-                yield jax.device_put(batch)
+                yield place_batch(batch)
 
         # Per-step metrics stay on device; host conversion happens once at
         # epoch end (a float() per step would serialize every dispatch).
@@ -568,7 +626,8 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
             writer.scalar("train_loss/phon_acc", phon_acc, step_i)
 
         val, phoneme_acc, _ = evaluate(model, eval_step, state, devset,
-                                       n_win_eval, max_samples)
+                                       n_win_eval, max_samples,
+                                       place_batch=place_batch)
         writer.scalar("val/loss", val, global_step)
         writer.scalar("val/phon_acc", phoneme_acc, global_step)
         plateau.step(val)
@@ -686,7 +745,9 @@ def main(args: argparse.Namespace) -> None:
                         warmup_steps=args.warmup_steps,
                         save_interval_epochs=args.save_interval_epochs,
                         device_resident_data=args.device_resident_data,
-                        transfer_dtype=args.transfer_dtype)
+                        transfer_dtype=args.transfer_dtype,
+                        data_parallel=args.data_parallel,
+                        model_parallel=args.model_parallel)
     done_file.write_text("Done training.\n")
 
 
@@ -720,6 +781,16 @@ def parse_args() -> argparse.Namespace:
                         help="Float precision of training inputs (wire "
                              "format on the host path, storage on the "
                              "device-resident path).")
+    parser.add_argument("--data_parallel", type=int, default=-1,
+                        help="Data-parallel mesh size (<=0 = all devices / "
+                             "model_parallel; clamped to a divisor of the "
+                             "fold's window count). Parameters replicate, "
+                             "the folded batch shards over 'data'.")
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="Tensor-parallel mesh size: >1 shards "
+                             "parameters + AdamW moments into output-channel "
+                             "slabs over a 2-D (data, model) mesh "
+                             "(parallel/tensor_parallel.py).")
     parser.add_argument("--save_interval_epochs", type=int, default=1,
                         help="Flush best/last checkpoints to disk every N "
                              "epochs (best params are snapshotted on device "
