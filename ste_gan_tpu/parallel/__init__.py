@@ -4,6 +4,11 @@ from ste_gan_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
+from ste_gan_tpu.parallel.pipeline_parallel import (  # noqa: F401
+    create_stage_mesh,
+    pipeline_apply,
+    stack_stage_params,
+)
 from ste_gan_tpu.parallel.tensor_parallel import (  # noqa: F401
     create_mesh_2d,
     shard_batch_2d,
