@@ -68,6 +68,14 @@ class EMGEncoderTransformer(nn.Module):
     num_heads: int = 8
     dim_feedforward: int = 3072
     relative_positional_distance: int = 100
+    # Scaling extension (no reference counterpart): > 0 swaps each layer's
+    # dense FFN for a mixture-of-experts block whose expert weights can
+    # shard over an 'expert' mesh axis (models/moe.py,
+    # parallel/expert_parallel.py). Reachable via emg_encoder.params in the
+    # YAML config (init_emg_encoder passes params through).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -93,6 +101,8 @@ class EMGEncoderTransformer(nn.Module):
                 dim_feedforward=self.dim_feedforward,
                 dropout=self.dropout, relative_positional=True,
                 relative_positional_distance=self.relative_positional_distance,
+                moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
                 dtype=self.dtype, name=f"transformer_{i}")(x, train=train)
 
         units = Dense(self.num_outs, dtype=self.dtype, name="w_out")(x)

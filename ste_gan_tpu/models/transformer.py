@@ -167,7 +167,11 @@ class MultiHeadAttention(nn.Module):
 
 class TransformerEncoderLayer(nn.Module):
     """Post-norm encoder layer with ReLU FFN
-    (reference: ste_gan/layers/transformer.py:8-61)."""
+    (reference: ste_gan/layers/transformer.py:8-61).
+
+    ``moe_experts > 0`` swaps the dense FFN for a token-routed
+    mixture-of-experts block (``models/moe.py``) — a scaling extension with
+    no reference counterpart; the default (0) is parity-exact."""
 
     d_model: int
     num_heads: int
@@ -175,6 +179,9 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.1
     relative_positional: bool = True
     relative_positional_distance: int = 100
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -187,10 +194,21 @@ class TransformerEncoderLayer(nn.Module):
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + attn)
 
-        h = Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
-        h = nn.relu(h)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        if self.moe_experts > 0:
+            from ste_gan_tpu.models.moe import MoEFeedForward
+
+            h = MoEFeedForward(
+                num_experts=self.moe_experts,
+                dim_feedforward=self.dim_feedforward,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                dtype=self.dtype, name="moe_ffn")(x, train=train)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        else:
+            h = Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
+            h = nn.relu(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + h)
         return x

@@ -4,6 +4,11 @@ from ste_gan_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
+from ste_gan_tpu.parallel.expert_parallel import (  # noqa: F401
+    create_expert_mesh,
+    moe_state_shardings,
+    shard_moe_state,
+)
 from ste_gan_tpu.parallel.pipeline_parallel import (  # noqa: F401
     create_stage_mesh,
     pipeline_apply,

@@ -242,12 +242,18 @@ def make_optimizer() -> optax.GradientTransformation:
 
 
 def make_encoder_train_step(model, max_samples: int,
-                            silent_pred_frames: int = 0) -> Callable:
+                            silent_pred_frames: int = 0,
+                            moe_aux_weight: float = 0.01) -> Callable:
     """``silent_pred_frames > 0`` enables the mixed-batch silent path: the
     batch must carry the silent DTW-target fields from
     :func:`fold_encoder_batch`. The combined loss preserves the reference's
     per-sample normalisation (sum of per-sample losses / batch size;
-    ste_gan/emg_encoder/train.py:146)."""
+    ste_gan/emg_encoder/train.py:146).
+
+    When the encoder uses mixture-of-experts FFNs (``moe_experts > 0``),
+    each MoE block sows a Switch-style load-balancing loss into the
+    ``"losses"`` collection; their sum is added with ``moe_aux_weight``.
+    Dense encoders sow nothing, so the default path is unchanged."""
     optimizer = make_optimizer()
 
     def train_step(state: EncoderTrainState, batch, rng):
@@ -268,7 +274,7 @@ def make_encoder_train_step(model, max_samples: int,
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["emg_windows"], train=True,
                 rngs={"shift": rng_shift, "dropout": rng_drop},
-                mutable=["batch_stats"])
+                mutable=["batch_stats", "losses"])
             n, f, d = su_pred.shape
             su_flat = su_pred.reshape(n * f, d)
             ph_flat = ph_pred.reshape(n * f, -1)
@@ -279,6 +285,10 @@ def make_encoder_train_step(model, max_samples: int,
                     su_flat, ph_flat, batch, silent_pred_frames)
                 loss = loss + silent_sum / jnp.maximum(
                     batch["num_samples"].astype(jnp.float32), 1)
+            # MoE load-balancing losses (empty dict for dense encoders).
+            aux_leaves = jax.tree.leaves(mutated.get("losses", {}))
+            if aux_leaves:
+                loss = loss + moe_aux_weight * sum(aux_leaves)
             return loss, (counters, mutated["batch_stats"])
 
         (loss, (counters, batch_stats)), grads = jax.value_and_grad(
