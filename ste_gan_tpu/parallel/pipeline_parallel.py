@@ -30,8 +30,10 @@ equality vs the plain sequential loop are asserted in
 
 Bubble economics: utilisation is ``M / (M + S - 1)`` — choose
 ``M >= 4*S`` for >80%. This module trades that bubble for depth scaling;
-it composes with data parallelism by using a 2-D ``(data, stage)`` mesh
-(shard the microbatch axis over ``data``), which is left to call sites.
+it composes with data parallelism over a 2-D ``(data, stage)`` mesh
+(:func:`create_stage_mesh_2d`): the per-microbatch batch axis shards over
+``data`` while the ring runs over ``stage`` — :func:`pipeline_apply`
+detects the extra axis and shards its input/output accordingly.
 """
 from __future__ import annotations
 
@@ -41,6 +43,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ste_gan_tpu.parallel.mesh import DATA_AXIS
 
 STAGE_AXIS = "stage"
 
@@ -53,6 +57,19 @@ def create_stage_mesh(num_stages: int,
         raise ValueError(
             f"requested {num_stages} stages, have {len(devices)} devices")
     return Mesh(np.asarray(devices[:num_stages]), (STAGE_AXIS,))
+
+
+def create_stage_mesh_2d(data_parallel: int, num_stages: int,
+                         devices: Optional[Sequence[jax.Device]] = None
+                         ) -> Mesh:
+    """2-D ``(data, stage)`` mesh: each of ``data_parallel`` replicas runs
+    the ``num_stages``-deep pipeline on its slice of every microbatch."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = data_parallel * num_stages
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(data_parallel, num_stages)
+    return Mesh(grid, (DATA_AXIS, STAGE_AXIS))
 
 
 def stack_stage_params(layer_params: Sequence[Any]) -> Any:
@@ -85,6 +102,13 @@ def pipeline_apply(layer_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
         raise ValueError(f"batch {batch} not divisible by "
                          f"num_microbatches {num_microbatches}")
     mb = batch // num_microbatches
+    # On a (data, stage) mesh each data replica pipelines its slice of
+    # every microbatch; the ring and schedule are unchanged.
+    data_size = mesh.shape.get(DATA_AXIS, 1)
+    if mb % data_size:
+        raise ValueError(f"microbatch size {mb} not divisible by the "
+                         f"data axis ({data_size})")
+    x_spec = P(None, DATA_AXIS) if data_size > 1 else P()
     x_mb = x.reshape(num_microbatches, mb, *x.shape[1:])
     m, s = num_microbatches, num_stages
     perm = [(i, (i + 1) % s) for i in range(s)]
@@ -120,7 +144,7 @@ def pipeline_apply(layer_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
             jnp.where(sidx == s - 1, outs, jnp.zeros_like(outs)), STAGE_AXIS)
 
     fn = jax.shard_map(local_fn, mesh=mesh,
-                       in_specs=(P(STAGE_AXIS), P()), out_specs=P())
+                       in_specs=(P(STAGE_AXIS), x_spec), out_specs=x_spec)
     stacked_params = jax.device_put(
         stacked_params, NamedSharding(mesh, P(STAGE_AXIS)))
     out = fn(stacked_params, x_mb)

@@ -158,6 +158,73 @@ class TestExpertParallel:
                 err_msg=jax.tree_util.keystr(path))
 
 
+class TestExpertParallelTrajectory:
+    def test_trajectory_matches_single_device(self):
+        """3 MoE-encoder train steps on a (data=4, expert=2) mesh == the
+        single-device trajectory: loss tight (routing decisions included),
+        params bounded by the AdamW drift ceiling (2*steps*lr — see
+        tests/test_encoder_parallel.py's proof-structure note)."""
+        from ste_gan_tpu import constants as C
+        from ste_gan_tpu import emg_encoder_constants as EC
+        from ste_gan_tpu.parallel.tensor_parallel import shard_batch_2d
+        from ste_gan_tpu.train.encoder import (
+            EncoderTrainState, make_encoder_train_step, make_optimizer)
+        from ste_gan_tpu.train.encoder_data import fold_encoder_batch
+
+        model = EMGEncoderTransformer(
+            model_size=D, num_extra_res_blocks=3, num_transformer_layers=1,
+            num_heads=4, dim_feedforward=FF, dropout=0.0, moe_experts=2)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 400, 8)), train=False)
+        opt = make_optimizer()
+
+        rng = np.random.default_rng(3)
+        batches = []
+        for _ in range(3):
+            items = [{
+                C.DataType.REAL_EMG: rng.normal(
+                    size=(fr * 16, 8)).astype(np.float32),
+                C.DataType.SPEECH_UNITS: rng.normal(
+                    size=(fr, 256)).astype(np.float32),
+                C.DataType.PHONEMES: rng.integers(
+                    0, C.NUM_PHONEMES, fr).astype(np.int32),
+                C.DataType.SPEAKING_MODE_ID: C.SpeakingMode.NORMAL,
+            } for fr in (30, 40)]
+            batches.append(jax.tree.map(jnp.asarray, fold_encoder_batch(
+                items, seq_len=50, n_win=8, max_samples=8).as_dict()))
+
+        def run(place_tree, place_batch):
+            state = EncoderTrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=jax.tree.map(jnp.copy, variables["params"]),
+                batch_stats=jax.tree.map(jnp.copy, variables["batch_stats"]),
+                opt_state=opt.init(variables["params"]))
+            state = place_tree(state)
+            step = jax.jit(make_encoder_train_step(model, 8),
+                           donate_argnums=0)
+            losses = []
+            for i, b in enumerate(batches):
+                state, metrics = step(state, place_batch(b), i)
+                losses.append(float(metrics["loss"]))
+            return state, losses
+
+        state1, losses1 = run(lambda t: t, lambda b: b)
+        mesh = create_expert_mesh(4, 2)
+        state_ep, losses_ep = run(lambda t: shard_moe_state(mesh, t),
+                                  lambda b: shard_batch_2d(mesh, b))
+
+        assert int(state1.step) == int(state_ep.step) == 3
+        np.testing.assert_allclose(losses_ep, losses1, rtol=1e-4)
+        drift = 2.0 * 3 * EC.LEARNING_RATE
+        for (path, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(state_ep.params),
+                jax.tree.leaves(state1.params)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float64), np.asarray(b, np.float64),
+                rtol=1e-3, atol=drift,
+                err_msg=jax.tree_util.keystr(path))
+
+
 class TestMoEEncoder:
     def test_encoder_trains_with_moe_layers(self):
         """EMGEncoderTransformer(moe_experts=2) — reachable via the YAML
