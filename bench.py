@@ -60,6 +60,9 @@ def main() -> None:
     # Perf-knob env overrides (A/B sweeps; defaults are the shipped config).
     if os.environ.get("STE_BENCH_PALLAS_CONV"):
         cfg.train.pallas_grouped_conv = True
+    if os.environ.get("STE_BENCH_VMAP_CONV"):
+        # Grouped convs as vmapped dense convs (ops/conv.py impl="vmap").
+        cfg.train.grouped_conv_impl = "vmap"
     if os.environ.get("STE_BENCH_FUSED_OPT"):
         cfg.train.fused_optimizer = True
     if os.environ.get("STE_BENCH_BATCH"):

@@ -142,6 +142,11 @@ class TrainConfig:
     #: of XLA's feature_group_count lowering. TPU-only perf knob; identical
     #: math (same conv semantics, f32 accumulation).
     pallas_grouped_conv: bool = False
+    #: Grouped-conv lowering override: "xla" (feature_group_count, default),
+    #: "pallas" (slab kernel), or "vmap" (groups as a vmapped leading axis
+    #: of dense convs). Takes precedence over pallas_grouped_conv when set;
+    #: identical math for all three. A/B perf knob.
+    grouped_conv_impl: Optional[str] = None
     #: Host prefetch depth for the input pipeline.
     prefetch: int = 2
     #: Train K steps per device dispatch via lax.scan over K stacked

@@ -226,7 +226,9 @@ def init_emg_discriminators(cfg, dtype=jnp.float32) -> DiscriminatorEnsemble:
         num_emg_channels=cfg.data.num_emg_channels,
         small=bool(cfg.model.discriminator_small),
         dtype=dtype,
-        conv_impl=("pallas" if getattr(cfg.train, "pallas_grouped_conv", False)
-                   else "xla"),
+        conv_impl=(getattr(cfg.train, "grouped_conv_impl", None)
+                   or ("pallas"
+                       if getattr(cfg.train, "pallas_grouped_conv", False)
+                       else "xla")),
         **(getattr(cfg.model, "discriminator_params", None) or {}),
     )

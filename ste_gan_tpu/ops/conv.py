@@ -75,6 +75,24 @@ def _conv(x, kernel, strides, padding, dilation, groups, dtype,
         return grouped_conv1d(
             x.astype(dtype), kernel.astype(dtype),
             stride=strides[0], padding=tuple(padding[0]), groups=groups)
+    if impl == "vmap" and rank == 1 and groups > 1:
+        # A/B alternative to feature_group_count: groups become a vmapped
+        # leading axis of DENSE convs. Trades XLA's grouped-conv relayout
+        # copies for explicit reshape/transposes it can lay out itself.
+        b, t, c = x.shape
+        g = groups
+        k, cg, f = kernel.shape
+        fg = f // g
+        xg = x.astype(dtype).reshape(b, t, g, cg).transpose(2, 0, 1, 3)
+        # Out channels are g consecutive blocks of fg (XLA grouped-conv
+        # semantics), so f -> (g, fg) on the trailing axis.
+        kg = kernel.astype(dtype).reshape(k, cg, g, fg).transpose(2, 0, 1, 3)
+        dng = jax.lax.conv_dimension_numbers(
+            (b, t, cg), (k, cg, fg), _DIM_NUMBERS[1])
+        y = jax.vmap(lambda xx, kk: jax.lax.conv_general_dilated(
+            xx, kk, window_strides=strides, padding=padding,
+            rhs_dilation=dilation, dimension_numbers=dng))(xg, kg)
+        return y.transpose(1, 2, 0, 3).reshape(b, y.shape[2], f)
     dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, _DIM_NUMBERS[rank])
     # Compute in the module dtype (bf16 under mixed precision): the TPU MXU
     # accumulates bf16 contractions in f32 internally, and keeping operand /
@@ -99,8 +117,9 @@ class _ConvBase(nn.Module):
     groups: int = 1
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
-    #: "xla" | "pallas" — pallas routes grouped 1-D convs through the
-    #: slab block-diagonal MXU kernel (ste_gan_tpu/ops/pallas_conv.py).
+    #: "xla" | "pallas" | "vmap" — pallas routes grouped 1-D convs through
+    #: the slab block-diagonal MXU kernel (ste_gan_tpu/ops/pallas_conv.py);
+    #: vmap runs groups as a vmapped leading axis of dense convs.
     conv_impl: str = "xla"
 
     def _geometry(self, x):

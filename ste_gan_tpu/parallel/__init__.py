@@ -11,6 +11,7 @@ from ste_gan_tpu.parallel.expert_parallel import (  # noqa: F401
 )
 from ste_gan_tpu.parallel.pipeline_parallel import (  # noqa: F401
     create_stage_mesh,
+    create_stage_mesh_2d,
     pipeline_apply,
     stack_stage_params,
 )

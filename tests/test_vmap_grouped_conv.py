@@ -1,0 +1,53 @@
+"""The "vmap" grouped-conv lowering (ops/conv.py::_conv impl="vmap") must be
+numerically identical to XLA's feature_group_count lowering across the scale
+discriminators' actual geometries — it is a perf A/B knob
+(train.grouped_conv_impl / STE_BENCH_VMAP_CONV), never a semantics change."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ste_gan_tpu.ops.conv import _conv
+
+# (batch, time, in_ch, kernel, out_ch, groups, stride): the small and full
+# MSD grouped-conv geometries (reference ste_gan/models/discriminator.py:
+# 47-67, 96-119) plus an uneven-length case.
+GEOMETRIES = [
+    (2, 128, 16, 41, 64, 4, 4),
+    (2, 100, 64, 41, 256, 16, 4),
+    (1, 77, 256, 41, 1024, 16, 4),
+    (2, 64, 32, 5, 32, 16, 1),
+]
+
+
+@pytest.mark.parametrize("b,t,c,k,f,g,s", GEOMETRIES)
+def test_vmap_matches_xla_forward_and_grad(b, t, c, k, f, g, s):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, t, c)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(k, c // g, f)) / np.sqrt(k * c // g),
+                    jnp.float32)
+    pad = ((k // 2, k // 2),)
+
+    run = lambda impl: _conv(x, w, (s,), pad, (1,), g, jnp.float32, impl=impl)
+    np.testing.assert_allclose(np.asarray(run("xla")), np.asarray(run("vmap")),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(impl):
+        return jax.grad(lambda ww: jnp.sum(jnp.square(
+            _conv(x, ww, (s,), pad, (1,), g, jnp.float32, impl=impl))))(w)
+
+    np.testing.assert_allclose(np.asarray(loss("xla")),
+                               np.asarray(loss("vmap")),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_config_knob_reaches_discriminator():
+    from ste_gan_tpu.config import Config
+    from ste_gan_tpu.models.discriminator import init_emg_discriminators
+
+    cfg = Config()
+    cfg.train.grouped_conv_impl = "vmap"
+    disc = init_emg_discriminators(cfg)
+    assert disc.conv_impl == "vmap"
+    cfg.train.grouped_conv_impl = None
+    assert init_emg_discriminators(cfg).conv_impl == "xla"
