@@ -116,6 +116,17 @@ class TrainConfig:
     #: tests/test_tensor_parallel.py). Requires data_parallel*model_parallel
     #: devices. Useful when per-device memory, not throughput, binds.
     model_parallel: int = 1
+    #: Fully-sharded data parallelism (ZeRO-3 analogue; parallel/fsdp.py).
+    #: When True the persistent train state — parameters, BOTH AdamW moment
+    #: trees, spectral-norm vectors — is stored sharded over the ``data``
+    #: mesh axis (largest evenly-divisible dimension per leaf); the fused
+    #: step all-gathers the compute trees at entry and re-scatters the
+    #: updated state, so between steps per-device state memory is ~1/data
+    #: of the replicated layout. Trajectory-equal to replicated DP
+    #: (tests/test_fsdp.py); composes with model_parallel > 1 (hybrid
+    #: FSDP x TP). Useful when model+optimizer state, not batch math,
+    #: binds per-device memory.
+    fsdp: bool = False
     #: Flat single-buffer AdamW (ops/flat_adamw.py): identical math to
     #: optax.adamw but ONE fused elementwise chain over all parameter
     #: leaves — 4.6 vs 11.4 ms per dual-net update in isolation on v5e
@@ -299,6 +310,9 @@ def apply_cli_overrides(cfg: Config, args: argparse.Namespace) -> Config:
     _maybe("batch_size", "batch_size", lambda v: v > 0)
     _maybe("max_steps", "max_steps", lambda v: v > 0)
     _maybe("model_parallel", "model_parallel", lambda v: v > 0)
+    fsdp = getattr(args, "fsdp", None)
+    if fsdp is not None and fsdp >= 0:
+        t.fsdp = bool(fsdp)
 
     sft = getattr(args, "speech_feature_type", "") or ""
     if sft.strip():
@@ -335,6 +349,11 @@ def add_eval_hyperparams_to_parser(parser: argparse.ArgumentParser) -> argparse.
                         help="Tensor-parallel mesh axis size; >1 shards the "
                              "train state over a 2-D (data, model) mesh "
                              "(<=0 keeps config value; TPU-native extension).")
+    parser.add_argument("--fsdp", type=int, default=-1,
+                        help="1 = store the train state fully sharded over "
+                             "the data axis (ZeRO-3 analogue, "
+                             "parallel/fsdp.py); 0 = replicated; <0 keeps "
+                             "the config value (TPU-native extension).")
     return parser
 
 

@@ -41,6 +41,8 @@ from ste_gan_tpu.config import (
     load_config)
 from ste_gan_tpu.data.loader import Prefetcher, loaders_via_config
 from ste_gan_tpu.infer import EMGSynthesizer
+from ste_gan_tpu.parallel.fsdp import (
+    fsdp_shard_state, fsdp_wrap_eval_step, fsdp_wrap_gan_step)
 from ste_gan_tpu.parallel.mesh import (
     create_mesh, largest_divisor_mesh_size, replicate, shard_batch)
 from ste_gan_tpu.parallel.tensor_parallel import (
@@ -122,6 +124,7 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     model_directory = Path(model_directory)
     writer = MetricLogger(model_directory)
     model_parallel = max(1, int(getattr(cfg.train, "model_parallel", 1)))
+    fsdp = bool(getattr(cfg.train, "fsdp", False))
     requested = (cfg.train.data_parallel if cfg.train.data_parallel > 0
                  else len(jax.devices()) // model_parallel)
     data_size = largest_divisor_mesh_size(cfg.train.batch_size, requested)
@@ -136,8 +139,14 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
         mesh = create_mesh(data_size)
         place_tree = partial(replicate, mesh)
         place_batch = partial(shard_batch, mesh)
-    logging.info("Mesh: %s %s over %d device(s)", mesh.axis_names,
-                 dict(mesh.shape), mesh.size)
+    if fsdp:
+        # FSDP (parallel/fsdp.py): persistent state STORED sharded over
+        # 'data' (hybrid with 'model' when model_parallel > 1); the steps
+        # are wrapped below to gather compute trees at entry and re-scatter
+        # the updated state.
+        place_tree = partial(fsdp_shard_state, mesh)
+    logging.info("Mesh: %s %s over %d device(s)%s", mesh.axis_names,
+                 dict(mesh.shape), mesh.size, " [FSDP]" if fsdp else "")
 
     models = build_models(cfg)
     rng = jax.random.PRNGKey(cfg.train.random_seed)
@@ -193,6 +202,8 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     # bake the whole corpus into the lowered HLO as a constant — fatal at
     # real-corpus scale (see DeviceCorpus docstring).
     inner_step = make_train_step(cfg, models)
+    if fsdp:
+        inner_step = fsdp_wrap_gan_step(inner_step, mesh)
     if device_corpus is not None:
         def raw_train_step(state, batch, encoder_variables, corpus):
             full = corpus.gather(batch["rows"], batch["starts"])
@@ -200,7 +211,10 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     else:
         def raw_train_step(state, batch, encoder_variables, corpus):
             return inner_step(state, batch, encoder_variables)
-    eval_step = jax.jit(make_eval_step(cfg, models))
+    raw_eval = make_eval_step(cfg, models)
+    if fsdp:
+        raw_eval = fsdp_wrap_eval_step(raw_eval, mesh)
+    eval_step = jax.jit(raw_eval)
 
     # ONE dispatch per step: the epoch phoneme-counter accumulation rides
     # inside the same jitted program as the train step. A separate jitted
@@ -266,7 +280,10 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
         return out
 
     def plot_samples(gen_params, step: int) -> None:
-        synth.params = gen_params
+        # Under FSDP the live params are stored sharded; the synthesizer's
+        # standalone jit needs them replicated (an explicit host-side
+        # reshard — cheap at plot cadence).
+        synth.params = replicate(mesh, gen_params) if fsdp else gen_params
         for i in range(min(t_cfg.num_test_samples + 1, len(valid_dataset))):
             sample = valid_dataset[i]
             fake = synth.synthesize(
