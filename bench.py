@@ -69,6 +69,11 @@ def main() -> None:
         # Throughput-scaling sweeps (vs_baseline stays normalised per
         # sample, so bigger batches show the per-chip capacity headroom).
         cfg.train.batch_size = int(os.environ["STE_BENCH_BATCH"])
+    if os.environ.get("STE_BENCH_GRAD_ACCUM"):
+        # K sequential microbatches, one dual update — activation memory
+        # ~B/K at the cost of an extra generator forward per microbatch
+        # (train/gan.py::train_step_accum; math equals the full batch).
+        cfg.train.grad_accum = int(os.environ["STE_BENCH_GRAD_ACCUM"])
     if os.environ.get("STE_BENCH_FULL_DISC"):
         # Full (non-small) MPD+MSD ensemble — the reference's
         # discriminator_small=false variant (5-layer period discs to 1024

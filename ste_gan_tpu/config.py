@@ -127,6 +127,14 @@ class TrainConfig:
     #: FSDP x TP). Useful when model+optimizer state, not batch math,
     #: binds per-device memory.
     fsdp: bool = False
+    #: Gradient accumulation (1 = off). K > 1 splits each global batch
+    #: into K equal microbatches scanned sequentially with ONE dual AdamW
+    #: update per step — activation memory scales with batch/K while the
+    #: update math equals the full-batch step exactly (every loss term is
+    #: a batch mean; spectral-norm power iteration is batch-independent;
+    #: tests/test_grad_accum.py). Must divide batch_size. The D phase
+    #: re-runs the generator forward per microbatch (remat trade).
+    grad_accum: int = 1
     #: Flat single-buffer AdamW (ops/flat_adamw.py): identical math to
     #: optax.adamw but ONE fused elementwise chain over all parameter
     #: leaves — 4.6 vs 11.4 ms per dual-net update in isolation on v5e
@@ -310,6 +318,7 @@ def apply_cli_overrides(cfg: Config, args: argparse.Namespace) -> Config:
     _maybe("batch_size", "batch_size", lambda v: v > 0)
     _maybe("max_steps", "max_steps", lambda v: v > 0)
     _maybe("model_parallel", "model_parallel", lambda v: v > 0)
+    _maybe("grad_accum", "grad_accum", lambda v: v > 0)
     fsdp = getattr(args, "fsdp", None)
     if fsdp is not None and fsdp >= 0:
         t.fsdp = bool(fsdp)
@@ -349,6 +358,12 @@ def add_eval_hyperparams_to_parser(parser: argparse.ArgumentParser) -> argparse.
                         help="Tensor-parallel mesh axis size; >1 shards the "
                              "train state over a 2-D (data, model) mesh "
                              "(<=0 keeps config value; TPU-native extension).")
+    parser.add_argument("--grad_accum", type=int, default=-1,
+                        help="Split each batch into K sequential "
+                             "microbatches with one optimizer update — "
+                             "trades compute for activation memory, math "
+                             "identical to the full batch (<=0 keeps the "
+                             "config value; TPU-native extension).")
     parser.add_argument("--fsdp", type=int, default=-1,
                         help="1 = store the train state fully sharded over "
                              "the data axis (ZeRO-3 analogue, "

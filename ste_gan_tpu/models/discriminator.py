@@ -229,6 +229,13 @@ def init_emg_discriminators(cfg, dtype=jnp.float32) -> DiscriminatorEnsemble:
         conv_impl=(getattr(cfg.train, "grouped_conv_impl", None)
                    or ("pallas"
                        if getattr(cfg.train, "pallas_grouped_conv", False)
-                       else "xla")),
+                       # Gradient accumulation reshapes microbatches onto
+                       # part of the data mesh — the sharding where XLA's
+                       # native grouped kernel-grad miscompiles (exactly
+                       # 2x; ops/conv.py::_grouped_conv1d_safe_grad), so
+                       # accumulating configs take the safe formulation.
+                       else ("safe_grad"
+                             if int(getattr(cfg.train, "grad_accum", 1)) > 1
+                             else "xla"))),
         **(getattr(cfg.model, "discriminator_params", None) or {}),
     )

@@ -25,6 +25,7 @@ f32 accumulation.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
@@ -62,9 +63,83 @@ def _torch_conv_init(fan_in: float):
     return init
 
 
+def _lax_grouped_conv1d(x, kernel, strides, padding, dilation, groups):
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, _DIM_NUMBERS[1])
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=strides, padding=padding,
+        rhs_dilation=dilation, dimension_numbers=dn,
+        feature_group_count=groups)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _grouped_conv1d_safe_grad(x, kernel, strides, padding, dilation, groups):
+    """Grouped 1-D conv whose KERNEL gradient avoids XLA's grouped
+    batch-gradient convolution.
+
+    Why: the SPMD partitioner miscompiles the kernel-gradient conv of a
+    grouped convolution (the ``batch_group_count`` lowering) when the batch
+    axis is resharded awkwardly — e.g. a gradient-accumulation microbatch
+    whose rows land on a subset of the data mesh. Gradients come back an
+    exact integer multiple too large (reproduced standalone: dense convs and
+    matmuls are correct in the same program; only ``feature_group_count > 1``
+    kernel grads double). The forward conv and the data gradient are
+    unaffected, so this wrapper keeps both native and recomputes only dW as
+    per-tap batched matmuls (dot_general is partitioner-safe), at identical
+    FLOP count to the native kernel-grad conv.
+    """
+    return _lax_grouped_conv1d(x, kernel, strides, padding, dilation, groups)
+
+
+def _grouped_fwd(x, kernel, strides, padding, dilation, groups):
+    y = _lax_grouped_conv1d(x, kernel, strides, padding, dilation, groups)
+    return y, (x, kernel)
+
+
+def _grouped_bwd(strides, padding, dilation, groups, res, dy):
+    x, kernel = res
+    # dx: the native data gradient (a forward-style grouped conv) is correct.
+    _, vjp_x = jax.vjp(
+        lambda xx: _lax_grouped_conv1d(xx, kernel, strides, padding,
+                                       dilation, groups), x)
+    (dx,) = vjp_x(dy)
+    # dW: per-tap strided slices of the padded input contracted against the
+    # cotangent — g batched matmuls per tap, f32 accumulation.
+    s, d = strides[0], dilation[0]
+    (pl, pr) = padding[0]
+    k_taps, cg, cout = kernel.shape
+    b, t_out, _ = dy.shape
+    og = cout // groups
+    x_pad = jnp.pad(x, ((0, 0), (pl, pr), (0, 0)))
+    dy_g = dy.reshape(b, t_out, groups, og)
+    span = (t_out - 1) * s + 1
+    taps = []
+    for k in range(k_taps):
+        xk = jax.lax.slice(x_pad, (0, k * d, 0),
+                           (b, k * d + span, x_pad.shape[2]), (1, s, 1))
+        xk = xk.reshape(b, t_out, groups, cg)
+        taps.append(jnp.einsum("btgc,btgo->cgo", xk, dy_g,
+                               preferred_element_type=jnp.float32))
+    dw = jnp.stack(taps).reshape(k_taps, cg, cout).astype(kernel.dtype)
+    return dx, dw
+
+
+_grouped_conv1d_safe_grad.defvjp(_grouped_fwd, _grouped_bwd)
+
+
 def _conv(x, kernel, strides, padding, dilation, groups, dtype,
           impl: str = "xla"):
     rank = kernel.ndim - 2
+    if impl == "safe_grad" and rank == 1 and groups > 1:
+        # Native forward + partitioner-safe kernel grad (see
+        # _grouped_conv1d_safe_grad). Auto-selected by the GAN trainer when
+        # grad_accum > 1 — the sharding pattern where XLA's native grouped
+        # kernel-grad lowering miscompiles (exactly 2x). Measured 133 vs
+        # 57 ms/step as the single-chip default (the per-tap matmul dW
+        # fuses worse than XLA's grouped gradient conv), hence gated, not
+        # global.
+        return _grouped_conv1d_safe_grad(
+            x.astype(dtype), kernel.astype(dtype), strides, padding,
+            dilation, groups)
     if (impl == "pallas" and rank == 1 and groups > 1
             and all(d == 1 for d in dilation)):
         # Grouped 1-D convs route through the Pallas slab kernel: XLA's
@@ -117,9 +192,16 @@ class _ConvBase(nn.Module):
     groups: int = 1
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
-    #: "xla" | "pallas" | "vmap" — pallas routes grouped 1-D convs through
-    #: the slab block-diagonal MXU kernel (ste_gan_tpu/ops/pallas_conv.py);
-    #: vmap runs groups as a vmapped leading axis of dense convs.
+    #: "xla" | "safe_grad" | "pallas" | "vmap" — xla (default) is the
+    #: native grouped lowering, fastest on-chip; safe_grad keeps the native
+    #: forward/data-grad but computes the kernel grad as per-tap batched
+    #: matmuls under jax.custom_vjp, because XLA's SPMD partitioner
+    #: miscompiles the native grouped kernel-grad (exactly 2x) when a
+    #: microbatch's rows cover part of the data mesh — the GAN trainer
+    #: selects it automatically when grad_accum > 1; pallas routes grouped
+    #: 1-D convs through the slab block-diagonal MXU kernel
+    #: (ste_gan_tpu/ops/pallas_conv.py); vmap runs groups as a vmapped
+    #: leading axis of dense convs.
     conv_impl: str = "xla"
 
     def _geometry(self, x):

@@ -232,34 +232,78 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
         fmaps_real, spectral = disc_apply(params, spectral, real_x)
         return fmaps_fake, fmaps_real, spectral
 
+    def gen_fwd(gen_params, batch):
+        return models.generator.apply(
+            {"params": gen_params}, batch[feature_key],
+            batch[C.DataType.SESSION_INDEX],
+            batch[C.DataType.SPEAKING_MODE_INDEX])
+
+    def d_loss_fn(disc_params, spectral, fake, real):
+        fmaps_fake, fmaps_real, spectral = disc_apply_pair(
+            disc_params, spectral, jax.lax.stop_gradient(fake), real)
+        return discriminator_loss(fmaps_fake, fmaps_real), spectral
+
+    def g_loss_fn(fake_in, spectral, disc_params, batch, encoder_variables):
+        real = batch[C.DataType.REAL_EMG].astype(jnp.float32)
+        loss = jnp.zeros((), jnp.float32)
+        aux: Dict[str, jnp.ndarray] = {}
+        if use_adv or use_fm:
+            fmaps_fake, fmaps_real, spectral = disc_apply_pair(
+                disc_params, spectral, fake_in, real)
+        if use_adv:
+            adv = generator_adversarial_loss(fmaps_fake)
+            loss += adv
+            aux["loss/adversarial"] = adv
+        if use_td:
+            td = multi_time_domain_loss(real, fake_in)
+            loss += t.loss_multi_td_weight * td
+            aux["loss/multi_td"] = td
+        if use_su or use_ph:
+            su_loss, ph_loss, counts = emg_encoder_loss(
+                lambda emg: models.encoder_apply(encoder_variables, emg),
+                fake_in, batch[C.DataType.SPEECH_UNITS],
+                batch[C.DataType.PHONEMES])
+            if use_su:
+                loss += t.loss_speech_unit_weight * su_loss
+                aux["loss/speech_unit"] = su_loss
+            if use_ph:
+                loss += t.loss_phoneme_weight * ph_loss
+                aux["loss/phoneme"] = ph_loss
+            aux.update({f"count/{k}": v for k, v in counts.items()})
+        if use_wave:
+            wave = jnp.mean(jnp.square(fake_in - real))
+            loss += t.loss_waveform_weight * wave
+            aux["loss/waveform"] = wave
+        if use_fm:
+            fm = feature_matching_loss(fmaps_fake, fmaps_real)
+            loss += t.loss_feat_match_weight * fm
+            aux["loss/feature_matching"] = fm
+        return loss, (aux, spectral)
+
+    def g_micro(gen_params, spectral, disc_params, batch, encoder_variables):
+        """Generator forward (VJP saved) + all G losses + pullback for one
+        (micro)batch. Returns (loss, aux, advanced spectral, G grads)."""
+        fake, gen_vjp = jax.vjp(lambda p: gen_fwd(p, batch), gen_params)
+        (loss_g, (aux, spectral)), fake_grad = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(fake, spectral, disc_params, batch,
+                                     encoder_variables)
+        (grads_g,) = gen_vjp(fake_grad)
+        return loss_g, aux, spectral, grads_g
+
     def train_step(state: GANTrainState, batch: Dict[str, jnp.ndarray],
                    encoder_variables: Any,
                    ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
         real = batch[C.DataType.REAL_EMG].astype(jnp.float32)
-        feats = batch[feature_key]
-        speech_units = batch[C.DataType.SPEECH_UNITS]
-        phoneme_targets = batch[C.DataType.PHONEMES]
-        sess_idx = batch[C.DataType.SESSION_INDEX]
-        mode_idx = batch[C.DataType.SPEAKING_MODE_INDEX]
-
         metrics: Dict[str, jnp.ndarray] = {}
 
         # ---- Generator forward, once, VJP saved for the G update. ----
-        def gen_fwd(gen_params):
-            return models.generator.apply(
-                {"params": gen_params}, feats, sess_idx, mode_idx)
-
-        fake, gen_vjp = jax.vjp(gen_fwd, state.gen_params)
+        fake, gen_vjp = jax.vjp(lambda p: gen_fwd(p, batch), state.gen_params)
 
         # ---- Discriminator update (on detached fake). ----
         if use_adv:
-            def d_loss_fn(disc_params, spectral):
-                fmaps_fake, fmaps_real, spectral = disc_apply_pair(
-                    disc_params, spectral, jax.lax.stop_gradient(fake), real)
-                return discriminator_loss(fmaps_fake, fmaps_real), spectral
-
             (loss_d, spectral), grads_d = jax.value_and_grad(
-                d_loss_fn, has_aux=True)(state.disc_params, state.disc_spectral)
+                d_loss_fn, has_aux=True)(state.disc_params,
+                                         state.disc_spectral, fake, real)
             disc_params, opt_d = optimizer.apply_gradients(
                 state.disc_params, grads_d, state.opt_d)
             metrics["loss/discriminator"] = loss_d
@@ -268,43 +312,9 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
                 state.disc_params, state.disc_spectral, state.opt_d)
 
         # ---- Generator losses through the *updated* discriminator. ----
-        def g_loss_fn(fake_in, spectral):
-            loss = jnp.zeros((), jnp.float32)
-            aux: Dict[str, jnp.ndarray] = {}
-            if use_adv or use_fm:
-                fmaps_fake, fmaps_real, spectral = disc_apply_pair(
-                    disc_params, spectral, fake_in, real)
-            if use_adv:
-                adv = generator_adversarial_loss(fmaps_fake)
-                loss += adv
-                aux["loss/adversarial"] = adv
-            if use_td:
-                td = multi_time_domain_loss(real, fake_in)
-                loss += t.loss_multi_td_weight * td
-                aux["loss/multi_td"] = td
-            if use_su or use_ph:
-                su_loss, ph_loss, counts = emg_encoder_loss(
-                    lambda emg: models.encoder_apply(encoder_variables, emg),
-                    fake_in, speech_units, phoneme_targets)
-                if use_su:
-                    loss += t.loss_speech_unit_weight * su_loss
-                    aux["loss/speech_unit"] = su_loss
-                if use_ph:
-                    loss += t.loss_phoneme_weight * ph_loss
-                    aux["loss/phoneme"] = ph_loss
-                aux.update({f"count/{k}": v for k, v in counts.items()})
-            if use_wave:
-                wave = jnp.mean(jnp.square(fake_in - real))
-                loss += t.loss_waveform_weight * wave
-                aux["loss/waveform"] = wave
-            if use_fm:
-                fm = feature_matching_loss(fmaps_fake, fmaps_real)
-                loss += t.loss_feat_match_weight * fm
-                aux["loss/feature_matching"] = fm
-            return loss, (aux, spectral)
-
         (loss_g, (aux, spectral)), fake_grad = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(fake, spectral)
+            g_loss_fn, has_aux=True)(fake, spectral, disc_params, batch,
+                                     encoder_variables)
         (grads_g,) = gen_vjp(fake_grad)
         gen_params, opt_g = optimizer.apply_gradients(
             state.gen_params, grads_g, state.opt_g)
@@ -322,7 +332,107 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
         )
         return new_state, metrics
 
-    return train_step
+    accum = max(1, int(getattr(t, "grad_accum", 1)))
+    if accum == 1:
+        return train_step
+    if t.batch_size % accum:
+        raise ValueError(
+            f"train.grad_accum={accum} must divide train.batch_size="
+            f"{t.batch_size}")
+
+    def train_step_accum(state: GANTrainState, batch: Dict[str, jnp.ndarray],
+                         encoder_variables: Any,
+                         ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+        """Gradient accumulation (train.grad_accum = K): the global batch
+        splits into K equal microbatches scanned sequentially, ONE dual
+        AdamW update per step — activation memory scales with B/K while
+        the update math equals the full-batch step.
+
+        Equality is exact (up to f32 summation order), not approximate:
+        every loss term is a mean over the batch axis, so the average of
+        equal-size microbatch gradients IS the full-batch gradient; and
+        spectral-norm power iteration depends only on the kernel (never
+        the batch), so every microbatch advances u/v to the same values —
+        the kept state matches the full-batch pass
+        (tests/test_grad_accum.py asserts multi-step trajectory equality).
+        The D phase re-runs the generator forward per microbatch (its VJP
+        is only saved in the G phase) — the standard remat trade of
+        accumulation."""
+        metrics: Dict[str, jnp.ndarray] = {}
+        micro = jax.tree.map(
+            lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]),
+            batch)
+
+        # ---- D phase: average grads over microbatches, update once. ----
+        if use_adv:
+            def d_scan(carry, mb):
+                loss_acc, grad_acc, _ = carry
+                fake = gen_fwd(state.gen_params, mb)
+                real = mb[C.DataType.REAL_EMG].astype(jnp.float32)
+                (loss_d, spectral), grads = jax.value_and_grad(
+                    d_loss_fn, has_aux=True)(state.disc_params,
+                                             state.disc_spectral, fake, real)
+                return (loss_acc + loss_d,
+                        jax.tree.map(jnp.add, grad_acc, grads),
+                        spectral), None
+
+            (loss_d_sum, grads_d_sum, spectral), _ = jax.lax.scan(
+                d_scan,
+                (jnp.zeros((), jnp.float32),
+                 jax.tree.map(jnp.zeros_like, state.disc_params),
+                 state.disc_spectral),
+                micro)
+            disc_params, opt_d = optimizer.apply_gradients(
+                state.disc_params,
+                jax.tree.map(lambda g: g / accum, grads_d_sum), state.opt_d)
+            metrics["loss/discriminator"] = loss_d_sum / accum
+        else:
+            disc_params, spectral, opt_d = (
+                state.disc_params, state.disc_spectral, state.opt_d)
+
+        # ---- G phase through the updated D: average grads, update once.
+        def g_scan(carry, mb):
+            loss_acc, aux_acc, _, grad_acc = carry
+            loss_g, aux, spec, grads_g = g_micro(
+                state.gen_params, spectral, disc_params, mb,
+                encoder_variables)
+            return (loss_acc + loss_g, jax.tree.map(jnp.add, aux_acc, aux),
+                    spec,
+                    jax.tree.map(jnp.add, grad_acc, grads_g)), None
+
+        # One traced microbatch seeds the aux accumulator's structure.
+        aux0 = jax.eval_shape(
+            lambda mb: g_micro(state.gen_params, spectral, disc_params, mb,
+                               encoder_variables)[1],
+            jax.tree.map(lambda x: x[0], micro))
+        aux0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), aux0)
+        (loss_g_sum, aux_sum, spectral, grads_g_sum), _ = jax.lax.scan(
+            g_scan,
+            (jnp.zeros((), jnp.float32), aux0, spectral,
+             jax.tree.map(jnp.zeros_like, state.gen_params)),
+            micro)
+        gen_params, opt_g = optimizer.apply_gradients(
+            state.gen_params,
+            jax.tree.map(lambda g: g / accum, grads_g_sum), state.opt_g)
+
+        metrics["loss/generator"] = loss_g_sum / accum
+        # Loss terms are per-microbatch means -> average; counters are
+        # totals -> keep the sums.
+        metrics.update({
+            k: (v if k.startswith("count/") else v / accum)
+            for k, v in aux_sum.items()})
+
+        new_state = GANTrainState(
+            step=state.step + 1,
+            gen_params=gen_params,
+            disc_params=disc_params,
+            disc_spectral=spectral,
+            opt_g=opt_g,
+            opt_d=opt_d,
+        )
+        return new_state, metrics
+
+    return train_step_accum
 
 
 def make_eval_step(cfg: Config, models: GANModels) -> Callable:

@@ -166,3 +166,66 @@ class TestFrameReduce:
                                    want_mean, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(frame_reduce(jnp.square(xj), window, stride, "sum"),
                                    want_sum, rtol=1e-4, atol=1e-5)
+
+
+class TestGroupedConvSafeGrad:
+    """The default grouped-conv path (_grouped_conv1d_safe_grad) must be
+    bit-identical to XLA's grouped lowering in the forward, match its
+    gradients on a single device, and — the reason it exists — stay correct
+    where the native lowering's kernel gradient miscompiles under SPMD:
+    a scanned microbatch whose batch rows cover only part of the data mesh
+    (gradient exactly 2x; reproduced with XLA's raw conv too)."""
+
+    ARGS = ((2,), ((2, 2),), (1,), 4)  # strides, padding, dilation, groups
+
+    def _data(self, b=4, t=32, cin=8, cout=16, k=5, groups=4):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(b, t, cin)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(k, cin // groups, cout)), jnp.float32)
+        return x, w
+
+    @pytest.mark.parametrize("args", [
+        ((2,), ((2, 2),), (1,), 4),
+        ((1,), ((7, 7),), (3,), 4),
+        ((2,), ((0, 3),), (1,), 2),
+    ])
+    def test_matches_native_single_device(self, args):
+        from ste_gan_tpu.ops.conv import (
+            _grouped_conv1d_safe_grad, _lax_grouped_conv1d)
+        x, w = self._data(groups=args[3])
+        y_native = _lax_grouped_conv1d(x, w, *args)
+        y_safe = _grouped_conv1d_safe_grad(x, w, *args)
+        np.testing.assert_array_equal(np.asarray(y_native), np.asarray(y_safe))
+
+        def loss(f):
+            return lambda w, x: jnp.mean(jnp.square(f(x, w, *args)))
+
+        gw_n, gx_n = jax.grad(loss(_lax_grouped_conv1d), (0, 1))(w, x)
+        gw_s, gx_s = jax.grad(loss(_grouped_conv1d_safe_grad), (0, 1))(w, x)
+        np.testing.assert_allclose(gw_n, gw_s, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(gx_n, gx_s, rtol=1e-4, atol=1e-6)
+
+    def test_kernel_grad_correct_under_microbatch_sharding(self):
+        """Scan over 2 microbatches of 2 with the batch axis laid out over a
+        4-device mesh: the native lowering returns exactly 2x gradients here
+        (upstream SPMD bug); the safe path must match the unsharded oracle."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from ste_gan_tpu.ops.conv import _grouped_conv1d_safe_grad
+        x, w = self._data()
+        args = self.ARGS
+
+        def loss_scan(w, xs):
+            def body(acc, mb):
+                y = _grouped_conv1d_safe_grad(mb, w, *args)
+                return acc + jnp.mean(jnp.square(y)), None
+            return jax.lax.scan(body, jnp.zeros(()), xs)[0]
+
+        g_ref = jax.grad(loss_scan)(w, x.reshape(2, 2, *x.shape[1:]))
+        mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+        xs = jax.device_put(x, NamedSharding(mesh, P("data"))
+                            ).reshape(2, 2, *x.shape[1:])
+        wr = jax.device_put(w, NamedSharding(mesh, P()))
+        g = jax.jit(jax.grad(loss_scan))(wr, xs)
+        np.testing.assert_allclose(np.asarray(jax.device_get(g)),
+                                   np.asarray(g_ref), rtol=1e-4, atol=1e-6)

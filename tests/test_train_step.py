@@ -39,12 +39,17 @@ def tiny_cfg() -> Config:
 
 
 def tiny_models(cfg, rng):
-    """Returns (GANModels, frozen encoder variables)."""
+    """Returns (GANModels, frozen encoder variables). Mirrors the factory's
+    grouped-conv impl selection (models/discriminator.py): accumulating
+    configs take the partitioner-safe kernel-grad path."""
     generator = EMGGeneratorGanTTS(num_sessions=4, channels=32)
     discriminator = DiscriminatorEnsemble(
         num_multi_pool=2, num_multi_scale=2,
         period_spec_override=TINY_PERIOD_SPEC,
-        scale_spec_override=TINY_SCALE_SPEC)
+        scale_spec_override=TINY_SCALE_SPEC,
+        conv_impl=("safe_grad"
+                   if int(getattr(cfg.train, "grad_accum", 1)) > 1
+                   else "xla"))
     encoder = EMGEncoderTransformer(
         model_size=32, num_extra_res_blocks=3, num_transformer_layers=1,
         num_heads=4, dim_feedforward=64, dropout=0.0)
