@@ -74,6 +74,11 @@ def main() -> None:
         # ~B/K at the cost of an extra generator forward per microbatch
         # (train/gan.py::train_step_accum; math equals the full batch).
         cfg.train.grad_accum = int(os.environ["STE_BENCH_GRAD_ACCUM"])
+    if os.environ.get("STE_BENCH_REMAT"):
+        # Rematerialise activations (jax.checkpoint around the generator
+        # forward + both loss phases): memory knob, identical math
+        # (train/gan.py; benchmarks/memory_probe.py has the HBM numbers).
+        cfg.train.remat = True
     if os.environ.get("STE_BENCH_FULL_DISC"):
         # Full (non-small) MPD+MSD ensemble — the reference's
         # discriminator_small=false variant (5-layer period discs to 1024

@@ -135,6 +135,18 @@ class TrainConfig:
     #: tests/test_grad_accum.py). Must divide batch_size. The D phase
     #: re-runs the generator forward per microbatch (remat trade).
     grad_accum: int = 1
+    #: Rematerialisation (jax.checkpoint) of the step's three activation
+    #: producers — the generator forward, the D-phase loss, and the G-phase
+    #: loss (discriminator pair passes + frozen encoder). With it on, XLA
+    #: saves no intermediate activations across the forward/backward
+    #: boundary and recomputes them during the pullback: peak activation
+    #: HBM drops (benchmarks/memory_probe.py measures the compiled
+    #: programs' actual HBM reservations) for roughly one extra forward of
+    #: FLOPs. Identical math — remat changes scheduling, not values
+    #: (tests/test_remat.py asserts trajectory equality). Composes with
+    #: grad_accum (microbatching shrinks the batch axis; remat shrinks the
+    #: per-microbatch residuals).
+    remat: bool = False
     #: Flat single-buffer AdamW (ops/flat_adamw.py): identical math to
     #: optax.adamw but ONE fused elementwise chain over all parameter
     #: leaves — 4.6 vs 11.4 ms per dual-net update in isolation on v5e
@@ -319,6 +331,9 @@ def apply_cli_overrides(cfg: Config, args: argparse.Namespace) -> Config:
     _maybe("max_steps", "max_steps", lambda v: v > 0)
     _maybe("model_parallel", "model_parallel", lambda v: v > 0)
     _maybe("grad_accum", "grad_accum", lambda v: v > 0)
+    remat = getattr(args, "remat", None)
+    if remat is not None and remat >= 0:
+        t.remat = bool(remat)
     fsdp = getattr(args, "fsdp", None)
     if fsdp is not None and fsdp >= 0:
         t.fsdp = bool(fsdp)
@@ -364,6 +379,13 @@ def add_eval_hyperparams_to_parser(parser: argparse.ArgumentParser) -> argparse.
                              "trades compute for activation memory, math "
                              "identical to the full batch (<=0 keeps the "
                              "config value; TPU-native extension).")
+    parser.add_argument("--remat", type=int, default=-1,
+                        help="1 = rematerialise activations (jax.checkpoint "
+                             "around the generator forward and both loss "
+                             "phases): peak activation HBM drops for ~one "
+                             "extra forward of FLOPs, identical math (<0 "
+                             "keeps the config value; TPU-native "
+                             "extension).")
     parser.add_argument("--fsdp", type=int, default=-1,
                         help="1 = store the train state fully sharded over "
                              "the data axis (ZeRO-3 analogue, "

@@ -280,6 +280,19 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
             aux["loss/feature_matching"] = fm
         return loss, (aux, spectral)
 
+    if bool(getattr(t, "remat", False)):
+        # Rematerialisation: wrap the step's three activation producers in
+        # jax.checkpoint so XLA saves nothing across their forward/backward
+        # boundaries and recomputes during the pullback. Identical math
+        # (remat changes scheduling, not values — tests/test_remat.py);
+        # peak activation HBM drops for ~one extra forward of FLOPs
+        # (benchmarks/memory_probe.py measures the compiled reservations).
+        # The generator's saved VJP is the big win: without remat its
+        # residuals stay live across the entire D phase.
+        gen_fwd = jax.checkpoint(gen_fwd)
+        d_loss_fn = jax.checkpoint(d_loss_fn)
+        g_loss_fn = jax.checkpoint(g_loss_fn)
+
     def g_micro(gen_params, spectral, disc_params, batch, encoder_variables):
         """Generator forward (VJP saved) + all G losses + pullback for one
         (micro)batch. Returns (loss, aux, advanced spectral, G grads)."""
