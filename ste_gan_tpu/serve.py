@@ -18,9 +18,14 @@ analogue for the TPU build:
       POST /synthesize   body: np.savez({feats[T,D] f32, session_id,
                          speaking_mode}) -> npy bytes of [16*T, C] EMG
                          (503 + Retry-After when the bounded queue is full)
+      POST /reload       hot-swap weights without downtime: JSON
+                         {run_dir?, tag?, artifact?}, defaults re-read the
+                         current source (e.g. a newer 'best' checkpoint
+                         mid-training); checkpoint mode swaps the param
+                         pytree under the SAME compiled program
       GET  /healthz      liveness
       GET  /stats        counters + p50/p95/p99 latency, batch occupancy,
-                         queue depth, rejected count
+                         queue depth, rejected count, reloads + source
 
 NumPy byte payloads (not JSON) keep the host path at memcpy speed; the
 dynamic batcher is what turns N concurrent RTF-0.007 requests into ~1
@@ -232,6 +237,11 @@ class SynthesisService:
                                     max_wait_ms=max_wait_ms, bucket=bucket,
                                     max_queue=max_queue)
         self._synth = synthesizer
+        # Hot-reload bookkeeping (POST /reload): where the weights came
+        # from, how often they were swapped, serialized under one lock.
+        self._source: Dict = {}
+        self._reload_lock = threading.Lock()
+        self.reload_count = 0
 
     @classmethod
     def from_artifact(cls, artifact: Path, max_batch: int = 8,
@@ -251,9 +261,11 @@ class SynthesisService:
         if vocab_path.exists():
             idx_to_id = json.loads(vocab_path.read_text())
             session_id_to_idx = {v: int(k) for k, v in idx_to_id.items()}
-        return cls(synth, session_id_to_idx, max_batch=max_batch,
-                   max_wait_ms=max_wait_ms, bucket=bucket,
-                   max_queue=max_queue)
+        service = cls(synth, session_id_to_idx, max_batch=max_batch,
+                      max_wait_ms=max_wait_ms, bucket=bucket,
+                      max_queue=max_queue)
+        service._source = {"mode": "artifact", "artifact": str(artifact)}
+        return service
 
     @classmethod
     def from_run_dir(cls, run_dir: Path, tag: str = "best",
@@ -273,9 +285,91 @@ class SynthesisService:
             idx_to_id = json.loads(vocab_path.read_text())
             session_id_to_idx = {v: int(k) for k, v in idx_to_id.items()}
         synth = EMGSynthesizer(models.generator, state.gen_params)
-        return cls(synth, session_id_to_idx, max_batch=max_batch,
-                   max_wait_ms=max_wait_ms, bucket=bucket,
-                   max_queue=max_queue)
+        service = cls(synth, session_id_to_idx, max_batch=max_batch,
+                      max_wait_ms=max_wait_ms, bucket=bucket,
+                      max_queue=max_queue)
+        service._source = {"mode": "run_dir", "run_dir": str(run_dir),
+                           "tag": tag}
+        return service
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _load_vocab(path: Path) -> Optional[Dict[str, int]]:
+        if path.exists():
+            idx_to_id = json.loads(path.read_text())
+            return {v: int(k) for k, v in idx_to_id.items()}
+        return None
+
+    def reload(self, run_dir=None, tag=None, artifact=None) -> Dict:
+        """Hot-swap the served weights without downtime.
+
+        Checkpoint mode: re-reads the (possibly newer) checkpoint ``tag``
+        from ``run_dir`` (defaults: the current source), validates that the
+        new parameter tree has the identical structure and leaf shapes
+        (same architecture), then atomically swaps the synthesizer's
+        ``params`` — the jitted forward takes params as an argument, so NO
+        recompilation happens and in-flight batches finish on the old
+        weights. Artifact mode (or passing ``artifact``): loads the new
+        StableHLO export, warms it on the service bucket BEFORE the swap
+        (the old model keeps serving through the warm-up), then swaps the
+        whole synthesizer under the micro-batcher. The reference has no
+        serving layer at all (SURVEY §1: inference is netG.generate inline,
+        ste_gan/train.py:394); this is production machinery on top."""
+        import jax
+
+        with self._reload_lock:
+            if artifact is not None or self._source.get("mode") == "artifact":
+                from ste_gan_tpu.export import ExportedSynthesizer
+
+                artifact = Path(artifact if artifact is not None
+                                else self._source["artifact"])
+                new_synth = ExportedSynthesizer(artifact)
+                # Warm the new program while the old one keeps serving.
+                dim = new_synth.generator.speech_input_dim
+                b = self.batcher.bucket
+                new_synth.synthesize_padded(
+                    np.zeros((1, b, dim), np.float32),
+                    np.zeros((1,), np.int32), np.zeros((1,), np.int32),
+                    np.asarray([b], np.int32))
+                vocab = self._load_vocab(
+                    artifact.parent / "session_idx_to_id.json")
+                self._synth = new_synth
+                self.batcher._synth = new_synth
+                if vocab is not None:
+                    self.session_id_to_idx = vocab
+                self._source = {"mode": "artifact", "artifact": str(artifact)}
+            else:
+                from ste_gan_tpu.train.gan import load_trained_state
+
+                run_dir = Path(run_dir if run_dir is not None
+                               else self._source["run_dir"])
+                tag = tag if tag is not None else self._source.get(
+                    "tag", "best")
+                _, _, state = load_trained_state(run_dir, tag)
+                new_params = state.gen_params
+                old_params = self._synth.params
+                if (jax.tree_util.tree_structure(new_params)
+                        != jax.tree_util.tree_structure(old_params)):
+                    raise ValueError(
+                        "checkpoint parameter tree structure does not match "
+                        "the served model — not swapping")
+                mism = [str(p) for (p, a), b in zip(
+                    jax.tree_util.tree_flatten_with_path(new_params)[0],
+                    jax.tree_util.tree_leaves(old_params))
+                    if a.shape != b.shape]
+                if mism:
+                    raise ValueError(
+                        f"checkpoint leaf shapes differ from the served "
+                        f"model at {mism[:3]} — not swapping")
+                vocab = self._load_vocab(run_dir / "session_idx_to_id.json")
+                self._synth.params = new_params  # atomic swap, no recompile
+                if vocab is not None:
+                    self.session_id_to_idx = vocab
+                self._source = {"mode": "run_dir", "run_dir": str(run_dir),
+                                "tag": tag}
+            self.reload_count += 1
+            return {"reloaded": True, "reloads": self.reload_count,
+                    **self._source}
 
     # ------------------------------------------------------------------
     def resolve_session(self, session) -> int:
@@ -448,6 +542,8 @@ def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
                 self._json(200, {"ok": True})
             elif self.path == "/stats":
                 stats = service.batcher.stats_snapshot()
+                stats["reloads"] = service.reload_count
+                stats["model_source"] = dict(service._source)
                 if decoder is not None:
                     stats["decode"] = decoder.stats_snapshot()
                 self._json(200, stats)
@@ -480,6 +576,15 @@ def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
                     buf = io.BytesIO()
                     np.savez(buf, units=units, phoneme_logits=ph)
                     self._send_bytes(buf.getvalue())
+                elif self.path == "/reload":
+                    # Hot-swap weights: JSON body with optional run_dir /
+                    # tag / artifact (defaults re-read the current source —
+                    # e.g. pick up a newer 'best' checkpoint mid-training).
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                    self._json(200, service.reload(
+                        run_dir=body.get("run_dir"), tag=body.get("tag"),
+                        artifact=body.get("artifact")))
                 elif self.path == "/synthesize_stream":
                     # Length-prefixed f32 chunk frames: each chunk is
                     # 8-byte big-endian byte count + raw float32 [n, C]
@@ -584,7 +689,8 @@ def main() -> None:
     if decoder is not None:
         decoder.warmup()
     server = make_http_server(service, args.host, args.port, decoder=decoder)
-    endpoints = "POST /synthesize" + (", POST /decode" if decoder else "")
+    endpoints = ("POST /synthesize, POST /reload"
+                 + (", POST /decode" if decoder else ""))
     print(f"serving speech->EMG on http://{args.host}:{args.port} "
           f"({endpoints}, GET /healthz, GET /stats)", flush=True)
     try:

@@ -315,3 +315,141 @@ class TestDecodeEndpoint:
         finally:
             server.shutdown()
             service.close()
+
+
+class TestHotReload:
+    """POST /reload: weights hot-swap without downtime. Checkpoint mode
+    swaps the param pytree under the same compiled program; structural
+    mismatches are rejected without touching the served model; artifact
+    mode warms the new program before the swap."""
+
+    def _fake_loader(self, new_params):
+        from types import SimpleNamespace
+
+        def fake(run_dir, tag):
+            return None, None, SimpleNamespace(gen_params=new_params)
+
+        return fake
+
+    def test_checkpoint_reload_swaps_params(self, small_synth, rng,
+                                            monkeypatch):
+        import copy
+
+        import ste_gan_tpu.train.gan as gan_mod
+
+        service = SynthesisService(small_synth, {"s0": 0}, max_wait_ms=1.0,
+                                   bucket=16)
+        service._source = {"mode": "run_dir", "run_dir": "unused",
+                           "tag": "best"}
+        try:
+            feats = rng.normal(size=(13, 256)).astype(np.float32)
+            before = service.synthesize(feats, 0)
+            new_params = jax.tree.map(lambda x: x * 0.5,
+                                      copy.deepcopy(small_synth.params))
+            monkeypatch.setattr(gan_mod, "load_trained_state",
+                                self._fake_loader(new_params))
+            info = service.reload()
+            assert info["reloaded"] and service.reload_count == 1
+            after = service.synthesize(feats, 0)
+            want = EMGSynthesizer(small_synth.generator,
+                                  new_params).synthesize(feats, 0)
+            np.testing.assert_allclose(after, want, atol=1e-5)
+            assert not np.allclose(before, after)
+            # Restore for other module-scoped tests.
+            old = jax.tree.map(lambda x: x * 2.0, new_params)
+            monkeypatch.setattr(gan_mod, "load_trained_state",
+                                self._fake_loader(old))
+            service.reload()
+        finally:
+            service.close()
+
+    def test_structural_mismatch_rejected(self, small_synth, monkeypatch):
+        import ste_gan_tpu.train.gan as gan_mod
+
+        service = SynthesisService(small_synth, {}, max_wait_ms=1.0,
+                                   bucket=16)
+        service._source = {"mode": "run_dir", "run_dir": "unused",
+                           "tag": "best"}
+        try:
+            old_params = service._synth.params
+            bad = {"not_the_same": np.zeros((3,), np.float32)}
+            monkeypatch.setattr(gan_mod, "load_trained_state",
+                                self._fake_loader(bad))
+            with pytest.raises(ValueError, match="structure"):
+                service.reload()
+            assert service._synth.params is old_params
+            assert service.reload_count == 0
+        finally:
+            service.close()
+
+    def test_http_reload_endpoint_and_stats(self, small_synth, rng,
+                                            monkeypatch):
+        import json as _json
+
+        import ste_gan_tpu.train.gan as gan_mod
+
+        service = SynthesisService(small_synth, {"s0": 0}, max_wait_ms=1.0,
+                                   bucket=16)
+        service._source = {"mode": "run_dir", "run_dir": "unused",
+                           "tag": "best"}
+        monkeypatch.setattr(gan_mod, "load_trained_state",
+                            self._fake_loader(service._synth.params))
+        server = make_http_server(service, host="127.0.0.1", port=0)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/reload", data=b"{}",
+                method="POST")
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                body = _json.loads(resp.read())
+            assert body["reloaded"] and body["reloads"] == 1
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/stats", timeout=10) as resp:
+                stats = _json.loads(resp.read())
+            assert stats["reloads"] == 1
+            assert stats["model_source"]["mode"] == "run_dir"
+        finally:
+            server.shutdown()
+            service.close()
+
+    def test_artifact_reload(self, small_synth, rng, tmp_path):
+        """Artifact-mode reload: a new export (here: halved weights) swaps
+        in after an in-reload warmup; requests after the swap match the
+        new weights exactly."""
+        import json as _json
+
+        from ste_gan_tpu.export import (export_generator, generator_meta,
+                                        save_exported)
+
+        gen = small_synth.generator
+
+        def make_artifact(params, name):
+            path = tmp_path / name
+            exported = export_generator(gen, params, gen.speech_input_dim,
+                                        serving=True)
+            save_exported(exported, path,
+                          meta=generator_meta(gen, gen.speech_input_dim,
+                                              serving=True))
+            return path
+
+        path_a = make_artifact(small_synth.params,
+                               "gen-a-serving.jaxexport")
+        halved = jax.tree.map(lambda x: x * 0.5, small_synth.params)
+        path_b = make_artifact(halved, "gen-b-serving.jaxexport")
+        (tmp_path / "session_idx_to_id.json").write_text(
+            _json.dumps({"0": "s0"}))
+
+        service = SynthesisService.from_artifact(path_a, max_wait_ms=1.0,
+                                                 bucket=16)
+        try:
+            feats = rng.normal(size=(10, 256)).astype(np.float32)
+            before = np.asarray(service.synthesize(feats, 0))
+            info = service.reload(artifact=str(path_b))
+            assert info["artifact"].endswith("gen-b-serving.jaxexport")
+            after = np.asarray(service.synthesize(feats, 0))
+            want = EMGSynthesizer(gen, halved).synthesize(feats, 0)
+            np.testing.assert_allclose(after, want, atol=1e-5)
+            assert not np.allclose(before, after)
+        finally:
+            service.close()
