@@ -64,6 +64,13 @@ def main() -> None:
                              "lowering does not need the target hardware, "
                              "so --device cpu exports TPU artifacts while "
                              "the TPU is busy")
+    parser.add_argument("--quantize", type=str, default="none",
+                        choices=("none", "int8"),
+                        help="int8: store weights as per-channel symmetric "
+                             "int8 constants with traced dequantisation "
+                             "(~4x smaller artifact; XLA constant-folds "
+                             "the dequant at compile time — see "
+                             "ste_gan_tpu/quant.py)")
     args = parser.parse_args()
 
     if args.device == "cpu":
@@ -80,16 +87,25 @@ def main() -> None:
     # trained parameters are f32 either way.
     export_gen = init_emg_generator(
         cfg, dtype=jnp.float32 if args.dtype == "float32" else jnp.bfloat16)
-    exported = export_generator(export_gen, state.gen_params,
-                                feature_dim, platforms=platforms,
-                                serving=args.serving)
+    if args.quantize == "int8":
+        from ste_gan_tpu.quant import export_generator_quantized
+
+        exported = export_generator_quantized(
+            export_gen, state.gen_params, feature_dim,
+            platforms=platforms, serving=args.serving)
+    else:
+        exported = export_generator(export_gen, state.gen_params,
+                                    feature_dim, platforms=platforms,
+                                    serving=args.serving)
 
     suffix = "-serving" if args.serving else ""
+    if args.quantize != "none":
+        suffix += f"-{args.quantize}"
     out = (args.out or
            run_dir / "export" / f"generator-{args.tag}{suffix}.jaxexport")
-    n_bytes = save_exported(
-        exported, out,
-        meta=generator_meta(export_gen, feature_dim, args.serving))
+    meta = generator_meta(export_gen, feature_dim, args.serving)
+    meta["quantize"] = args.quantize
+    n_bytes = save_exported(exported, out, meta=meta)
     for vocab in ("session_idx_to_id.json", "speaking_mode_idx_to_id.json"):
         if (run_dir / vocab).exists():
             shutil.copy2(run_dir / vocab, out.parent / vocab)
@@ -108,8 +124,23 @@ def main() -> None:
         else:
             got = loaded.call(feats, sess)
         compile_s = time.perf_counter() - start
-        want = export_gen.apply({"params": state.gen_params}, feats, sess)
+        ref_params = state.gen_params
+        if args.quantize == "int8":
+            # The artifact must match the *dequantised* weights exactly
+            # (the f32-vs-int8 quality delta is a property of the weights,
+            # not the export; benchmarks/quant_probe.py measures it).
+            from ste_gan_tpu.quant import (dequantize_generator_params,
+                                           quantize_generator_params)
+            ref_params = dequantize_generator_params(
+                quantize_generator_params(ref_params))
+            f32_out = export_gen.apply({"params": state.gen_params},
+                                       feats, sess)
+        want = export_gen.apply({"params": ref_params}, feats, sess)
         diff = float(jnp.max(jnp.abs(got - want)))
+        if args.quantize == "int8":
+            qdev = float(jnp.max(jnp.abs(want - f32_out)))
+            print(f"int8 quantisation output deviation vs f32 weights: "
+                  f"max {qdev:.2e} (tanh-bounded outputs)")
         # bf16 artifacts are not bit-reproducible across recompiles (the
         # --dtype help text's caveat): fusion-order differences between the
         # deserialized StableHLO and the freshly traced program are normal

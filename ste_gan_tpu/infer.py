@@ -13,7 +13,12 @@ Here inference is a first-class subsystem:
   with receptive-field context so chunk interiors are bit-exact with the
   full-utterance result;
 * :func:`convert_dataset` — batched multi-session conversion of a whole
-  dataset split with per-session embedding lookup (BASELINE config #5).
+  dataset split with per-session embedding lookup (BASELINE config #5);
+* scale-out inference: pass ``mesh=`` (a 1-D ``data`` mesh) and the batch
+  axis is sharded over the mesh devices — parameters replicated, rows
+  split over ICI, exact (batch rows are independent through the whole
+  generator stack). Batches are padded to a mesh multiple with masked
+  dummy rows, so any request batch size works on any mesh.
 """
 from __future__ import annotations
 
@@ -23,10 +28,12 @@ from typing import Dict, Iterable, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh
 
 from ste_gan_tpu import constants as C
 from ste_gan_tpu.config import Config
 from ste_gan_tpu.models.generator import EMGGeneratorGanTTS, init_emg_generator
+from ste_gan_tpu.parallel import mesh as mesh_lib
 
 #: Per-side receptive field of the generator stack in input frames
 #: (2 full-rate GBlocks a 40 frames + upsampled blocks' shrinking context,
@@ -45,13 +52,18 @@ class EMGSynthesizer:
         generator: the generator module.
         params: its parameter tree.
         bucket: frame-axis bucket size (1 = exact per-length compilation).
+        mesh: optional 1-D ``data`` mesh for scale-out inference — batch
+            rows are sharded over the mesh devices (params replicated);
+            exact, since rows are independent through the generator.
     """
 
-    def __init__(self, generator: EMGGeneratorGanTTS, params, bucket: int = 1):
+    def __init__(self, generator: EMGGeneratorGanTTS, params, bucket: int = 1,
+                 mesh: Optional[Mesh] = None):
         self.generator = generator
-        self.params = params
         self.bucket = max(1, int(bucket))
         self.upsample = generator.upsample_factor
+        self.mesh = mesh
+        self.set_params(params)
 
         @jax.jit
         def _forward(params, feats, sess_idx, mode_idx, num_valid):
@@ -62,8 +74,47 @@ class EMGSynthesizer:
 
     @classmethod
     def from_config(cls, cfg: Config, params, bucket: int = 1,
-                    dtype=jnp.float32) -> "EMGSynthesizer":
-        return cls(init_emg_generator(cfg, dtype=dtype), params, bucket)
+                    dtype=jnp.float32, mesh: Optional[Mesh] = None
+                    ) -> "EMGSynthesizer":
+        return cls(init_emg_generator(cfg, dtype=dtype), params, bucket,
+                   mesh=mesh)
+
+    # ------------------------------------------------------------------
+    def set_params(self, params) -> None:
+        """Install a parameter tree (used by weight hot-reload). Under a
+        mesh the tree is replicated across the devices so the sharded
+        forward never recompiles on a placement change."""
+        if self.mesh is not None:
+            params = mesh_lib.replicate(self.mesh, params)
+        self.params = params
+
+    def _place_batch(self, feats, sess_idx, mode_idx, valid):
+        """Pad the batch to a mesh multiple with masked (valid=0) dummy
+        rows and shard the row axis over the ``data`` mesh axis. Returns
+        the placed arrays and the real row count."""
+        rows = feats.shape[0]
+        if self.mesh is None:
+            return feats, sess_idx, mode_idx, valid, rows
+        n = self.mesh.size
+        pad = (-rows) % n
+        if pad:
+            feats = jnp.concatenate(
+                [feats, jnp.zeros((pad,) + feats.shape[1:], feats.dtype)])
+            sess_idx = jnp.concatenate([sess_idx,
+                                        jnp.zeros((pad,), sess_idx.dtype)])
+            mode_idx = jnp.concatenate([mode_idx,
+                                        jnp.zeros((pad,), mode_idx.dtype)])
+            if valid.ndim > 0:
+                valid = jnp.concatenate([valid,
+                                         jnp.zeros((pad,), valid.dtype)])
+        sharded = mesh_lib.batch_sharding(self.mesh)
+        replicated = mesh_lib.replicate_sharding(self.mesh)
+        feats = jax.device_put(feats, sharded)
+        sess_idx = jax.device_put(sess_idx, sharded)
+        mode_idx = jax.device_put(mode_idx, sharded)
+        valid = jax.device_put(valid,
+                               sharded if valid.ndim > 0 else replicated)
+        return feats, sess_idx, mode_idx, valid, rows
 
     # ------------------------------------------------------------------
     def synthesize_batch(self, feats: jnp.ndarray, session_idx: jnp.ndarray,
@@ -76,9 +127,10 @@ class EMGSynthesizer:
         padded_t = _round_up(t, self.bucket)
         if padded_t != t:
             feats = jnp.pad(feats, ((0, 0), (0, padded_t - t), (0, 0)))
-        emg = self._forward(self.params, feats, session_idx, mode_idx,
-                            jnp.asarray(t, jnp.int32))
-        return emg[:, : self.upsample * t]
+        feats, session_idx, mode_idx, valid, rows = self._place_batch(
+            feats, session_idx, mode_idx, jnp.asarray(t, jnp.int32))
+        emg = self._forward(self.params, feats, session_idx, mode_idx, valid)
+        return emg[:rows, : self.upsample * t]
 
     def synthesize_padded(self, feats: jnp.ndarray, session_idx: jnp.ndarray,
                           mode_idx: jnp.ndarray, num_valid: jnp.ndarray
@@ -87,8 +139,11 @@ class EMGSynthesizer:
         [B, upsample*Tpad, C]; rows are exact up to ``upsample*valid[b]``
         (padded frames are masked inside the generator). The micro-batching
         server and convert_dataset use this to stack unequal utterances."""
-        return self._forward(self.params, feats, session_idx, mode_idx,
-                             num_valid)
+        feats, session_idx, mode_idx, num_valid, rows = self._place_batch(
+            feats, session_idx, mode_idx, jnp.asarray(num_valid))
+        emg = self._forward(self.params, feats, session_idx, mode_idx,
+                            num_valid)
+        return emg[:rows]
 
     def synthesize(self, feats: np.ndarray, session_idx: int,
                    mode_idx: int = 0) -> np.ndarray:
@@ -123,11 +178,12 @@ class EMGSynthesizer:
             pad = target - valid
             if pad > 0:
                 window = np.pad(window, ((0, pad), (0, 0)))
-            emg = self._forward(
-                self.params, jnp.asarray(window)[None],
+            w, sess, mode, v, rows = self._place_batch(
+                jnp.asarray(window)[None],
                 jnp.asarray([session_idx], jnp.int32),
                 jnp.asarray([mode_idx], jnp.int32),
-                jnp.asarray(valid, jnp.int32))[0]
+                jnp.asarray([valid], jnp.int32))
+            emg = self._forward(self.params, w, sess, mode, v)[0]
             yield np.asarray(emg[(start - lo) * up:(stop - lo) * up])
 
     # ------------------------------------------------------------------

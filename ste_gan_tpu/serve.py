@@ -270,11 +270,15 @@ class SynthesisService:
     @classmethod
     def from_run_dir(cls, run_dir: Path, tag: str = "best",
                      max_batch: int = 8, max_wait_ms: float = 5.0,
-                     bucket: int = 64, max_queue: int = 64) -> "SynthesisService":
+                     bucket: int = 64, max_queue: int = 64,
+                     data_parallel: int = 0) -> "SynthesisService":
         """Load config snapshot + checkpoint + session vocab from a GAN
         training run directory (the same layout scripts/generate_emg.py
-        consumes)."""
+        consumes). ``data_parallel > 1`` serves over a 1-D device mesh:
+        each coalesced micro-batch's rows are sharded across the mesh
+        (scale-out serving; exact — see EMGSynthesizer)."""
         from ste_gan_tpu.infer import EMGSynthesizer
+        from ste_gan_tpu.parallel.mesh import create_mesh
         from ste_gan_tpu.train.gan import load_trained_state
 
         run_dir = Path(run_dir)
@@ -284,7 +288,8 @@ class SynthesisService:
         if vocab_path.exists():
             idx_to_id = json.loads(vocab_path.read_text())
             session_id_to_idx = {v: int(k) for k, v in idx_to_id.items()}
-        synth = EMGSynthesizer(models.generator, state.gen_params)
+        mesh = create_mesh(data_parallel) if data_parallel > 1 else None
+        synth = EMGSynthesizer(models.generator, state.gen_params, mesh=mesh)
         service = cls(synth, session_id_to_idx, max_batch=max_batch,
                       max_wait_ms=max_wait_ms, bucket=bucket,
                       max_queue=max_queue)
@@ -362,7 +367,9 @@ class SynthesisService:
                         f"checkpoint leaf shapes differ from the served "
                         f"model at {mism[:3]} — not swapping")
                 vocab = self._load_vocab(run_dir / "session_idx_to_id.json")
-                self._synth.params = new_params  # atomic swap, no recompile
+                # Atomic swap, no recompile (set_params re-replicates over
+                # the serving mesh when one is active).
+                self._synth.set_params(new_params)
                 if vocab is not None:
                     self.session_id_to_idx = vocab
                 self._source = {"mode": "run_dir", "run_dir": str(run_dir),
@@ -648,6 +655,10 @@ def main() -> None:
     ap.add_argument("--bucket", type=int, default=64)
     ap.add_argument("--max_queue", type=int, default=64,
                     help="backpressure high-water mark (503 beyond it)")
+    ap.add_argument("--data_parallel", type=int, default=0,
+                    help="serve over an N-device 1-D mesh: micro-batch "
+                         "rows sharded across devices (checkpoint mode "
+                         "only; exact)")
     ap.add_argument("--device", type=str, default="default",
                     choices=("default", "cpu"),
                     help="backend to serve on; multi-platform artifacts "
@@ -670,6 +681,10 @@ def main() -> None:
         force_platform("cpu")
     enable_compilation_cache()
     if args.artifact is not None:
+        if args.data_parallel > 1:
+            raise SystemExit("--data_parallel requires checkpoint mode "
+                             "(--run_dir): a StableHLO artifact is a fixed "
+                             "single-device program")
         service = SynthesisService.from_artifact(
             args.artifact, max_batch=args.max_batch,
             max_wait_ms=args.max_wait_ms, bucket=args.bucket,
@@ -678,7 +693,7 @@ def main() -> None:
         service = SynthesisService.from_run_dir(
             args.run_dir, tag=args.tag, max_batch=args.max_batch,
             max_wait_ms=args.max_wait_ms, bucket=args.bucket,
-            max_queue=args.max_queue)
+            max_queue=args.max_queue, data_parallel=args.data_parallel)
     decoder = None
     if args.decoder_artifact is not None:
         decoder = EMGDecoderService(args.decoder_artifact,

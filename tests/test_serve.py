@@ -453,3 +453,69 @@ class TestHotReload:
             assert not np.allclose(before, after)
         finally:
             service.close()
+
+
+class TestMeshServing:
+    """Scale-out serving: the micro-batcher's coalesced batches ride a
+    synthesizer whose batch axis is sharded over the 8-device CPU mesh.
+    Every concurrent caller must still get its exact single-device
+    result, and checkpoint hot-reload must keep params replicated."""
+
+    @pytest.fixture(scope="class")
+    def mesh_service(self, small_synth):
+        from ste_gan_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(8)
+        sharded = EMGSynthesizer(small_synth.generator, small_synth.params,
+                                 mesh=mesh)
+        service = SynthesisService(sharded, {"s0": 0}, max_batch=8,
+                                   max_wait_ms=150.0, bucket=16)
+        yield service
+        service.close()
+
+    def test_concurrent_requests_exact(self, mesh_service, small_synth,
+                                       rng):
+        lengths = [9, 17, 24, 31, 12, 8]
+        reqs = [(rng.normal(size=(n, 256)).astype(np.float32), 0)
+                for n in lengths]
+        results = [None] * len(reqs)
+
+        def run(i):
+            results[i] = mesh_service.synthesize(reqs[i][0], reqs[i][1])
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for (feats, sess), got in zip(reqs, results):
+            want = small_synth.synthesize(feats, sess)
+            np.testing.assert_allclose(got, want, atol=1e-5)
+        assert mesh_service.batcher.stats["max_batch_seen"] >= 2
+
+    def test_reload_under_mesh(self, mesh_service, small_synth, rng,
+                               monkeypatch):
+        from types import SimpleNamespace
+
+        import ste_gan_tpu.train.gan as gan_mod
+
+        mesh_service._source = {"mode": "run_dir", "run_dir": "unused",
+                                "tag": "best"}
+        halved = jax.tree.map(lambda x: x * 0.5, small_synth.params)
+        monkeypatch.setattr(
+            gan_mod, "load_trained_state",
+            lambda run_dir, tag: (None, None,
+                                  SimpleNamespace(gen_params=halved)))
+        feats = rng.normal(size=(14, 256)).astype(np.float32)
+        mesh_service.reload()
+        got = mesh_service.synthesize(feats, 0)
+        want = EMGSynthesizer(small_synth.generator, halved).synthesize(
+            feats, 0)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # Restore module-scoped weights for any later tests.
+        monkeypatch.setattr(
+            gan_mod, "load_trained_state",
+            lambda run_dir, tag: (None, None, SimpleNamespace(
+                gen_params=small_synth.params)))
+        mesh_service.reload()
