@@ -100,17 +100,26 @@ def main() -> None:
 
     if args.time:
         def bench(exported):
-            # Chain the inputs through the loop (the remote-TPU tunnel
-            # memoizes identical (executable, args) executions — see
-            # CLAUDE.md): each iteration perturbs feats by a scalar
-            # derived from the previous output.
-            f = feats
-            out = exported.call(f, sess)
-            jax.block_until_ready(out)
-            start = time.perf_counter()
-            for _ in range(args.iters):
-                f = f + jnp.mean(out) * 1e-6
+            # Chain ALL iterations inside ONE jitted program: per-call
+            # eager ops / dispatches through the remote-TPU tunnel cost
+            # seconds each and would swamp the model time (see CLAUDE.md).
+            # The warmup call uses a different input than the timed call,
+            # defeating the tunnel's (executable, args) memoization.
+            def chained(f):
                 out = exported.call(f, sess)
+
+                def body(_, carry):
+                    f, out = carry
+                    f = f + jnp.mean(out) * 1e-6
+                    return f, exported.call(f, sess)
+
+                return jax.lax.fori_loop(0, args.iters - 1, body,
+                                         (f, out))[1]
+
+            call = jax.jit(chained)
+            jax.block_until_ready(call(feats + 1.0))   # compile
+            start = time.perf_counter()
+            out = call(feats)
             jax.block_until_ready(out)
             return (time.perf_counter() - start) / args.iters * 1e3
 

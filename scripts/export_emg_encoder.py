@@ -35,6 +35,12 @@ def main() -> None:
     parser.add_argument("--out", type=Path, default=None)
     parser.add_argument("--device", type=str, default="default",
                         choices=("default", "cpu"))
+    parser.add_argument("--quantize", type=str, default="none",
+                        choices=("none", "int8"),
+                        help="int8: per-channel weight-only quantisation "
+                             "of conv kernels / attention projections / "
+                             "rel-pos tables (~4x smaller artifact; "
+                             "ste_gan_tpu/quant.py)")
     parser.add_argument("--verify", action="store_true")
     args = parser.parse_args()
 
@@ -67,14 +73,22 @@ def main() -> None:
     variables = load_pytree(args.ckpt, template)
 
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
-    exported = export_emg_encoder(model, variables, channels,
-                                  platforms=platforms)
-    out = args.out or Path(str(args.ckpt) + ".jaxexport")
+    if args.quantize == "int8":
+        from ste_gan_tpu.quant import export_emg_encoder_quantized
+
+        exported = export_emg_encoder_quantized(model, variables, channels,
+                                                platforms=platforms)
+    else:
+        exported = export_emg_encoder(model, variables, channels,
+                                      platforms=platforms)
+    suffix = "" if args.quantize == "none" else f"-{args.quantize}"
+    out = args.out or Path(str(args.ckpt) + suffix + ".jaxexport")
     min_frames = int(model.relative_positional_distance) + 1
     n_bytes = save_exported(exported, out, meta={
         "kind": "emg_encoder",
         "num_emg_channels": channels,
         "min_frames": min_frames,
+        "quantize": args.quantize,
     })
     print(f"wrote {out} ({n_bytes / 1e6:.1f} MB, platforms={platforms}, "
           f"min_frames={min_frames})")
@@ -91,9 +105,22 @@ def main() -> None:
         start = time.perf_counter()
         su, ph = loaded.call(emg)
         compile_s = time.perf_counter() - start
-        su2, ph2 = model.apply(variables, emg, train=False)
+        ref_vars = variables
+        if args.quantize == "int8":
+            # Exactness gate is vs the dequantised weights; the quality
+            # delta vs f32 is reported separately.
+            from ste_gan_tpu.quant import dequantize_params, quantize_params
+            ref_vars = dict(variables, params=dequantize_params(
+                quantize_params(variables["params"], generic=True)))
+            su_f, ph_f = model.apply(variables, emg, train=False)
+        su2, ph2 = model.apply(ref_vars, emg, train=False)
         diff = max(float(jnp.max(jnp.abs(su - su2))),
                    float(jnp.max(jnp.abs(ph - ph2))))
+        if args.quantize == "int8":
+            print(f"int8 deviation vs f32 weights: units max "
+                  f"{float(jnp.max(jnp.abs(su2 - su_f))):.2e}, phoneme "
+                  f"argmax agreement "
+                  f"{float(jnp.mean(jnp.argmax(ph2, -1) == jnp.argmax(ph_f, -1))):.4f}")
         print(f"verify: units {su.shape}, phonemes {ph.shape}, max diff "
               f"{diff:.2e} (first-call {compile_s:.1f}s)")
         if diff > 1e-4:

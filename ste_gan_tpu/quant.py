@@ -39,6 +39,17 @@ _CONV_LEAF = "v"
 _GAIN_LEAF = "g"
 _EMBED_LEAF = "embedding"
 
+#: Generic weight leaves (encoder/transformer trees): name -> channel axis.
+#: Conv/dense kernels and attention projections quantise per trailing
+#: output axis; SNConv "kernel"s in discriminators share the name and the
+#: same layout, so the rule is universal. BatchNorm scale/bias, LayerNorm,
+#: and biases pass through f32 (not listed).
+_GENERIC_LEAVES = {
+    "kernel": -1,
+    "w_q": -1, "w_k": -1, "w_v": -1, "w_o": -1,
+    "embeddings": -1,   # learned relative-positional tables [h, pos, d]
+}
+
 
 def quantize_tensor(w, channel_axis: int):
     """Symmetric per-channel int8 quantisation.
@@ -58,15 +69,18 @@ def dequantize_tensor(q, scale):
     return q.astype(jnp.float32) * scale
 
 
-def quantize_generator_params(params):
-    """Parameter tree -> quantised tree (same structure, WNConv ``v``/``g``
-    pairs replaced by the quantised *effective* kernel).
+def quantize_params(params, generic: bool = False):
+    """Parameter tree -> quantised tree (same dict nesting).
 
-    For each WNConv dict ``{v, g, bias?}`` the effective kernel
-    ``w = v * g / ||v||`` is computed, quantised per output channel, and
-    stored as ``{v_q, v_scale, bias?}`` — ``g`` disappears (folded).
-    Embedding tables quantise per row. The result round-trips through
-    :func:`dequantize_generator_params`.
+    WNConv dicts ``{v, g, bias?}`` are always folded: the effective kernel
+    ``w = v * g / ||v||`` is quantised per output channel and stored as
+    ``{v_q, v_scale, bias?}`` — ``g`` disappears. Embedding tables
+    (``embedding``) quantise per row. With ``generic=True``, plain weight
+    leaves (conv/dense ``kernel``, attention ``w_q/w_k/w_v/w_o``, rel-pos
+    ``embeddings``) quantise per trailing axis and are stored as
+    ``{name}__q`` / ``{name}__scale`` — used for the EMG-encoder tree,
+    whose convs are unnormalised. The result round-trips through
+    :func:`dequantize_params`.
     """
     from ste_gan_tpu.ops.conv import _norm_per_out_channel
 
@@ -86,15 +100,25 @@ def quantize_generator_params(params):
         if _EMBED_LEAF in node and len(node) == 1:
             q, scale = quantize_tensor(node[_EMBED_LEAF], channel_axis=0)
             return {"embedding_q": q, "embedding_scale": scale}
-        return {k: walk(child) for k, child in node.items()}
+        out = {}
+        for k, child in node.items():
+            axis = _GENERIC_LEAVES.get(k)
+            if (generic and axis is not None and hasattr(child, "ndim")
+                    and child.ndim >= 2):
+                q, scale = quantize_tensor(
+                    child, channel_axis=child.ndim + axis)
+                out[f"{k}__q"], out[f"{k}__scale"] = q, scale
+            else:
+                out[k] = walk(child)
+        return out
 
     return walk(params)
 
 
-def dequantize_generator_params(qparams):
+def dequantize_params(qparams):
     """Quantised tree -> standard parameter tree consumable by the
-    unmodified generator (``v = dequant, g = ||v||`` reproduces the
-    dequantised kernel exactly; see module docstring)."""
+    unmodified modules (``v = dequant, g = ||v||`` reproduces the
+    dequantised WNConv kernel exactly; see module docstring)."""
     from ste_gan_tpu.ops.conv import _norm_per_out_channel
 
     def walk(node):
@@ -110,9 +134,28 @@ def dequantize_generator_params(qparams):
         if "embedding_q" in node:
             return {"embedding": dequantize_tensor(node["embedding_q"],
                                                    node["embedding_scale"])}
-        return {k: walk(child) for k, child in node.items()}
+        out = {}
+        for k, child in node.items():
+            if k.endswith("__q"):
+                out[k[:-3]] = dequantize_tensor(child,
+                                                node[k[:-3] + "__scale"])
+            elif k.endswith("__scale"):
+                continue
+            else:
+                out[k] = walk(child)
+        return out
 
     return walk(qparams)
+
+
+# The original generator-specific names remain the public API for the
+# generator path (scripts/export_generator.py, tests).
+def quantize_generator_params(params):
+    return quantize_params(params, generic=False)
+
+
+def dequantize_generator_params(qparams):
+    return dequantize_params(qparams)
 
 
 def quantized_param_bytes(qparams) -> int:
@@ -157,3 +200,27 @@ def export_generator_quantized(generator, gen_params, feature_dim: int,
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
     return jax.export.export(jax.jit(fn), **kwargs)(*args)
+
+
+def export_emg_encoder_quantized(encoder, variables, num_emg_channels: int,
+                                 platforms: Optional[Sequence[str]] = None):
+    """int8 variant of :func:`ste_gan_tpu.export.export_emg_encoder` (the
+    EMG -> units + phonemes *decoding* artifact): conv kernels, attention
+    projections, and rel-pos tables stored as per-channel int8 constants
+    (generic rule set); BatchNorm statistics/affines stay f32. Same
+    symbolic signature and ``t >= D+1`` windowed-regime constraint."""
+    qparams = quantize_params(variables["params"], generic=True)
+    rest = {k: v for k, v in variables.items() if k != "params"}
+
+    def decode(emg):
+        vs = dict(rest, params=dequantize_params(qparams))
+        return encoder.apply(vs, emg, train=False)
+
+    min_frames = int(encoder.relative_positional_distance) + 1
+    scope = jax.export.SymbolicScope([f"t >= {min_frames}"])
+    b, t16 = jax.export.symbolic_shape("b, 16*t", scope=scope)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jax.export.export(jax.jit(decode), **kwargs)(
+        jax.ShapeDtypeStruct((b, t16, num_emg_channels), jnp.float32))

@@ -139,3 +139,67 @@ class TestQuantizedExport:
                          num_valid_frames=jnp.asarray([20, 13], jnp.int32))
         np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                    atol=1e-6)
+
+
+class TestEncoderQuantization:
+    """Generic-rule int8 quantization of the EMG encoder (the decode-
+    direction artifact): conv kernels, attention projections, rel-pos
+    tables; BatchNorm affines/statistics stay f32."""
+
+    @pytest.fixture(scope="class")
+    def small_enc(self):
+        from ste_gan_tpu.models.emg_encoder import EMGEncoderTransformer
+
+        enc = EMGEncoderTransformer(model_size=32, num_extra_res_blocks=3,
+                                    num_transformer_layers=1, num_heads=4,
+                                    dim_feedforward=64, dropout=0.0,
+                                    relative_positional_distance=20)
+        variables = jax.jit(lambda: enc.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 512, 8)),
+            train=False))()
+        return enc, variables
+
+    def test_roundtrip_and_fidelity(self, small_enc, rng):
+        from ste_gan_tpu.quant import dequantize_params, quantize_params
+
+        enc, variables = small_enc
+        q = quantize_params(variables["params"], generic=True)
+        # Conv kernels became int8 leaves...
+        leaves = {jax.tree_util.keystr(p): l for p, l
+                  in jax.tree_util.tree_flatten_with_path(q)[0]}
+        assert any(k.endswith("['kernel__q']") and l.dtype == jnp.int8
+                   for k, l in leaves.items())
+        assert any(k.endswith("['w_q__q']") for k in leaves)
+        # ...BatchNorm affines did not.
+        assert any(k.endswith("['scale']") and l.dtype == jnp.float32
+                   for k, l in leaves.items())
+        dq = dequantize_params(q)
+        assert (jax.tree_util.tree_structure(variables["params"])
+                == jax.tree_util.tree_structure(dq))
+        emg = jnp.asarray(rng.normal(size=(2, 512, 8)) * 0.1, jnp.float32)
+        su, ph = enc.apply(variables, emg, train=False)
+        su2, ph2 = enc.apply(dict(variables, params=dq), emg, train=False)
+        assert float(jnp.max(jnp.abs(su - su2))) < 0.05 * float(
+            jnp.max(jnp.abs(su)))
+        agree = float(jnp.mean(jnp.argmax(ph, -1) == jnp.argmax(ph2, -1)))
+        assert agree > 0.95
+
+    def test_quantized_encoder_export(self, small_enc, rng):
+        from ste_gan_tpu.export import export_emg_encoder
+        from ste_gan_tpu.quant import (dequantize_params,
+                                       export_emg_encoder_quantized,
+                                       quantize_params)
+
+        enc, variables = small_enc
+        e_f32 = export_emg_encoder(enc, variables, 8)
+        e_q = export_emg_encoder_quantized(enc, variables, 8)
+        assert len(e_q.serialize()) < len(e_f32.serialize())
+        emg = jnp.asarray(rng.normal(size=(1, 512, 8)) * 0.1, jnp.float32)
+        su, ph = e_q.call(emg)
+        dq = dict(variables, params=dequantize_params(
+            quantize_params(variables["params"], generic=True)))
+        su2, ph2 = enc.apply(dq, emg, train=False)
+        np.testing.assert_allclose(np.asarray(su), np.asarray(su2),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ph), np.asarray(ph2),
+                                   atol=1e-5)
