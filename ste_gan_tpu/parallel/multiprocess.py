@@ -82,6 +82,38 @@ def barrier() -> None:
             f"collective barrier summed {total} over {len(devs)} devices")
 
 
+def mesh_barrier(mesh) -> None:
+    """Pre-form the gloo context of every mesh-axis sub-clique with a
+    trivial per-axis ``psum`` while all processes are still in lockstep.
+
+    ``barrier`` only forms the all-device context; on a multi-axis mesh
+    the per-axis collectives group *different* device subsets (e.g. the
+    ``data``-axis groups of a (data, model) mesh stride across processes),
+    and each subset's gloo context is otherwise first formed at its first
+    real collective — after each process compiles the full train step,
+    where per-process compile skew (a compilation-cache hit in one process
+    and a miss in another: minutes) exceeds gloo's 30 s key-exchange
+    deadline and kills the fleet. Measured: the 2-process TP mode dies
+    with ``Gloo context initialization failed: DEADLINE_EXCEEDED`` on the
+    data-axis group without this.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    for axis in mesh.axis_names:
+        n = mesh.shape[axis]
+        if n == 1:
+            continue
+        ones = jax.jit(lambda n=n: jnp.ones((n,), jnp.int32),
+                       out_shardings=NamedSharding(mesh, P(axis)))()
+        reduce = jax.jit(jax.shard_map(
+            lambda x, axis=axis: jax.lax.psum(x, axis), mesh=mesh,
+            in_specs=P(axis), out_specs=P()))
+        total = int(reduce(ones)[0])
+        if total != n:
+            raise RuntimeError(
+                f"{axis}-axis barrier summed {total} over {n} devices")
+
+
 def tiny_setup():
     """Small-but-complete GAN setup (full loss surface, both optimizers,
     spectral norm) shared by the worker and the single-process oracle in
@@ -138,10 +170,20 @@ def run_steps(mesh, cfg, models, n_steps: int, seed: int = 0,
     local rows of each one — so a run restored at ``start_step`` sees
     exactly the batches the uninterrupted run would.
 
+    When ``mesh`` has a ``model`` axis (`create_mesh_2d`), parameters and
+    their mirrored optimizer moments shard into output-channel slabs over
+    it (`parallel/tensor_parallel.py`). With the row-major device grid the
+    ``model`` axis pairs adjacent device IDs, so in a multi-process run TP
+    stays *within* each process while ``data`` spans processes — the
+    standard pod layout (TP over ICI, DP over DCN); what this mode proves
+    is that TP composes with cross-process data parallelism. The batch
+    still shards over ``data`` only.
+
     With ``fsdp=True`` the persistent train state is STORED sharded over
     the ``data`` axis (`parallel/fsdp.py`) — across *processes* in the
-    multi-process case, i.e. multi-host ZeRO-3 — and the returned state is
-    re-replicated at the end so callers compare layouts-agnostically.
+    multi-process case, i.e. multi-host ZeRO-3 (on a 2-D mesh: hybrid
+    FSDP x TP) — and the returned state is re-replicated at the end so
+    callers compare layouts-agnostically.
 
     ``save_ckpt``/``restore_ckpt`` checkpoint the train state through
     orbax in its STORAGE layout: in a multi-process run each process
@@ -154,6 +196,7 @@ def run_steps(mesh, cfg, models, n_steps: int, seed: int = 0,
     from ste_gan_tpu import constants as C
     from ste_gan_tpu.train.gan import init_state, make_train_step
 
+    mesh_barrier(mesh)  # form per-axis gloo cliques before any big compile
     rep = replicate_sharding(mesh)
     rng = jax.random.PRNGKey(seed)
 
@@ -164,10 +207,12 @@ def run_steps(mesh, cfg, models, n_steps: int, seed: int = 0,
                     train=False))
 
     # Build the state/encoder ON the mesh. out_shardings places every leaf
-    # (replicated, or FSDP-sharded over `data`), and since the computation
-    # is deterministic, all processes agree on the values — the
-    # multi-host-safe way to initialise without broadcasting.
+    # (replicated, TP-sharded over `model`, or FSDP-sharded over `data`),
+    # and since the computation is deterministic, all processes agree on
+    # the values — the multi-host-safe way to initialise without
+    # broadcasting.
     abstract = jax.eval_shape(init_fn)
+    tp = mesh.shape.get("model", 1) > 1
     if fsdp:
         from ste_gan_tpu.parallel.fsdp import (fsdp_state_shardings,
                                                fsdp_wrap_gan_step)
@@ -175,6 +220,11 @@ def run_steps(mesh, cfg, models, n_steps: int, seed: int = 0,
         out_shardings = fsdp_state_shardings(mesh, abstract)
         raw_step: Any = fsdp_wrap_gan_step(make_train_step(cfg, models),
                                            mesh)
+    elif tp:
+        from ste_gan_tpu.parallel.tensor_parallel import state_shardings
+
+        out_shardings = state_shardings(mesh, abstract)
+        raw_step = make_train_step(cfg, models)
     else:
         out_shardings = jax.tree.map(lambda _: rep, abstract)
         raw_step = make_train_step(cfg, models)
@@ -209,7 +259,7 @@ def run_steps(mesh, cfg, models, n_steps: int, seed: int = 0,
                         "D": float(metrics["loss/discriminator"])})
     if save_ckpt is not None:
         save_state(save_ckpt, state)
-    if fsdp:
+    if fsdp or tp:
         # Re-replicate (an all-gather across processes) so callers see the
         # same layout as plain DP and can compare leaf-for-leaf.
         state = jax.jit(lambda s: s, out_shardings=rep)(state)
@@ -259,6 +309,12 @@ def main() -> None:
     ap.add_argument("--fsdp", action="store_true",
                     help="store the train state FSDP-sharded over the "
                          "data axis — across processes: multi-host ZeRO-3")
+    ap.add_argument("--model_parallel", type=int, default=1,
+                    help="size of a `model` mesh axis: params shard into "
+                         "output-channel slabs within each process while "
+                         "data parallelism spans processes — the standard "
+                         "pod layout (composes with --fsdp: hybrid "
+                         "FSDP x TP)")
     ap.add_argument("--start_step", type=int, default=0,
                     help="resume point: batch i is seeded by (seed, i)")
     ap.add_argument("--restore_ckpt", type=Path, default=None,
@@ -274,7 +330,13 @@ def main() -> None:
     from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
     enable_compilation_cache()
 
-    mesh = create_mesh(devices=jax.devices())  # ALL global devices
+    if args.model_parallel > 1:
+        from ste_gan_tpu.parallel.tensor_parallel import create_mesh_2d
+
+        mesh = create_mesh_2d(-1, args.model_parallel,
+                              devices=jax.devices())  # ALL global devices
+    else:
+        mesh = create_mesh(devices=jax.devices())  # ALL global devices
     assert jax.process_count() == args.num_processes
     cfg, models = tiny_setup()
     state, history = run_steps(mesh, cfg, models, args.steps,
