@@ -80,6 +80,22 @@ def barrier() -> None:
     if total != len(devs):
         raise RuntimeError(
             f"collective barrier summed {total} over {len(devs)} devices")
+    # Also pre-form the per-local-device-column contexts that
+    # `multihost_utils.process_allgather` groups (its (processes,
+    # local_devices) mesh gathers over 'processes', i.e. one gloo clique
+    # per column: (0, 2048), (1, 2049), ...). Orbax's save/restore
+    # barriers (`sync_global_processes`) hit those cliques lazily —
+    # potentially after minutes of per-process compile skew, exceeding
+    # gloo's 30 s handshake deadline. The skew is structural: only
+    # process 0 may write persistent-compile-cache entries AND the cache
+    # key's accelerator_config hash is process-dependent, so non-primary
+    # processes recompile everything, every run. Measured: fleet restarts
+    # with --restore_ckpt died at orbax restore's first barrier without
+    # this (tests/test_launch.py).
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("ste_gan_tpu.barrier")
 
 
 def mesh_barrier(mesh) -> None:
@@ -162,7 +178,8 @@ def _global_batch(mesh, batch_np: dict) -> dict:
 
 def run_steps(mesh, cfg, models, n_steps: int, seed: int = 0,
               fsdp: bool = False, start_step: int = 0,
-              restore_ckpt=None, save_ckpt=None) -> Tuple[Any, list]:
+              restore_ckpt=None, save_ckpt=None,
+              ckpt_every: int = 0, ckpt_dir=None) -> Tuple[Any, list]:
     """Run ``n_steps`` fused GAN steps over ``mesh`` on deterministic
     seeded batches. Works identically single-process (oracle) and
     multi-process (each process holding a device slice): batch ``i`` is
@@ -192,6 +209,19 @@ def run_steps(mesh, cfg, models, n_steps: int, seed: int = 0,
     checkpoint is restorable under any topology whose mesh the caller
     passes — 2-process FSDP -> 1-process replicated and back (the
     writer topology is not baked into the artifact).
+
+    ``ckpt_every``/``ckpt_dir`` additionally checkpoint DURING the run, to
+    ``ckpt_dir/step_{k}`` after every ``ckpt_every``-th step, marking each
+    completed save with a ``step_{k}.done`` sentinel (written by process 0
+    only after orbax's cross-process commit finishes) — the recovery
+    points `parallel/launch.py`'s supervisor restarts a crashed fleet
+    from. Because batch ``i`` depends only on ``(seed, i)``, redoing the
+    steps after the last checkpoint is exact, not approximate.
+
+    Fault injection (tests only): ``STE_MP_CRASH="<step>:<proc>:<flag>"``
+    hard-kills process ``<proc>`` (``os._exit``) just before step
+    ``<step>``, creating ``<flag>`` first so the injection disarms itself
+    across restarts.
     """
     from ste_gan_tpu import constants as C
     from ste_gan_tpu.train.gan import init_state, make_train_step
@@ -238,8 +268,14 @@ def run_steps(mesh, cfg, models, n_steps: int, seed: int = 0,
     frames = cfg.train.chunk_size // C.HOPSIZE
     step = jax.jit(raw_step, donate_argnums=0)
 
+    crash = _crash_plan()
     history = []
     for i in range(start_step, start_step + n_steps):
+        if crash is not None and i == crash[0] \
+                and jax.process_index() == crash[1]:
+            import os
+            Path(crash[2]).touch()  # disarm before dying
+            os._exit(17)
         rng_np = np.random.default_rng((seed, i))
         batch = {
             C.DataType.REAL_EMG: np.tanh(rng_np.normal(
@@ -257,6 +293,12 @@ def run_steps(mesh, cfg, models, n_steps: int, seed: int = 0,
         jax.block_until_ready(metrics)
         history.append({"G": float(metrics["loss/generator"]),
                         "D": float(metrics["loss/discriminator"])})
+        if ckpt_every and ckpt_dir is not None \
+                and (i + 1) % ckpt_every == 0:
+            tag = Path(ckpt_dir) / f"step_{i + 1}"
+            save_state(tag, state)
+            if jax.process_index() == 0:
+                tag.with_suffix(".done").touch()
     if save_ckpt is not None:
         save_state(save_ckpt, state)
     if fsdp or tp:
@@ -264,6 +306,22 @@ def run_steps(mesh, cfg, models, n_steps: int, seed: int = 0,
         # same layout as plain DP and can compare leaf-for-leaf.
         state = jax.jit(lambda s: s, out_shardings=rep)(state)
     return state, history
+
+
+def _crash_plan():
+    """Parse the ``STE_MP_CRASH`` fault-injection spec (see `run_steps`).
+    Returns ``(step, process_id, flag_path)`` while armed, else None —
+    the flag file, created by the dying process, disarms the injection
+    for restarted fleets."""
+    import os
+
+    spec = os.environ.get("STE_MP_CRASH", "")
+    if not spec:
+        return None
+    step, proc, flag = spec.split(":", 2)
+    if Path(flag).exists():
+        return None
+    return int(step), int(proc), flag
 
 
 def save_state(path, state) -> None:
@@ -323,6 +381,11 @@ def main() -> None:
     ap.add_argument("--save_ckpt", type=Path, default=None,
                     help="checkpoint the final train state here (each "
                          "process writes its addressable shards)")
+    ap.add_argument("--ckpt_every", type=int, default=0,
+                    help="also checkpoint to --ckpt_dir/step_{k} every k "
+                         "steps with a .done sentinel — the recovery "
+                         "points the launch supervisor restarts from")
+    ap.add_argument("--ckpt_dir", type=Path, default=None)
     ap.add_argument("--out", type=Path, required=True)
     args = ap.parse_args()
 
@@ -342,7 +405,9 @@ def main() -> None:
     state, history = run_steps(mesh, cfg, models, args.steps,
                                fsdp=args.fsdp, start_step=args.start_step,
                                restore_ckpt=args.restore_ckpt,
-                               save_ckpt=args.save_ckpt)
+                               save_ckpt=args.save_ckpt,
+                               ckpt_every=args.ckpt_every,
+                               ckpt_dir=args.ckpt_dir)
 
     args.out.mkdir(parents=True, exist_ok=True)
     # Every process holds a full replica; each writes its own view so the
