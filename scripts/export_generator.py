@@ -30,7 +30,7 @@ from ste_gan_tpu.export import (export_generator, generator_meta,
                                 load_exported, save_exported,
                                 speech_feature_dim)
 from ste_gan_tpu.models.generator import init_emg_generator
-from ste_gan_tpu.train.gan import load_trained_state
+from ste_gan_tpu.train.gan import eval_generator_params, load_trained_state
 from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
 
 
@@ -91,10 +91,10 @@ def main() -> None:
         from ste_gan_tpu.quant import export_generator_quantized
 
         exported = export_generator_quantized(
-            export_gen, state.gen_params, feature_dim,
+            export_gen, eval_generator_params(state), feature_dim,
             platforms=platforms, serving=args.serving)
     else:
-        exported = export_generator(export_gen, state.gen_params,
+        exported = export_generator(export_gen, eval_generator_params(state),
                                     feature_dim, platforms=platforms,
                                     serving=args.serving)
 
@@ -124,7 +124,7 @@ def main() -> None:
         else:
             got = loaded.call(feats, sess)
         compile_s = time.perf_counter() - start
-        ref_params = state.gen_params
+        ref_params = eval_generator_params(state)
         if args.quantize == "int8":
             # The artifact must match the *dequantised* weights exactly
             # (the f32-vs-int8 quality delta is a property of the weights,
@@ -133,7 +133,7 @@ def main() -> None:
                                            quantize_generator_params)
             ref_params = dequantize_generator_params(
                 quantize_generator_params(ref_params))
-            f32_out = export_gen.apply({"params": state.gen_params},
+            f32_out = export_gen.apply({"params": eval_generator_params(state)},
                                        feats, sess)
         want = export_gen.apply({"params": ref_params}, feats, sess)
         diff = float(jnp.max(jnp.abs(got - want)))

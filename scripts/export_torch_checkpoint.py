@@ -71,7 +71,8 @@ def main() -> None:
         print(f"wrote {out} ({len(sd)} tensors)")
         return
 
-    from ste_gan_tpu.train.gan import load_trained_state
+    from ste_gan_tpu.train.gan import (eval_generator_params,
+                                       load_trained_state)
 
     run_dir = Path(args.run_dir)
     cfg, _, state = load_trained_state(run_dir, args.tag)
@@ -79,7 +80,7 @@ def main() -> None:
     out_dir = args.out_dir or run_dir / "export"
     out_dir.mkdir(parents=True, exist_ok=True)
     net_g = to_torch_tensors(generator_params_to_state_dict(
-        state.gen_params, cfg.model.speech_feature_type))
+        eval_generator_params(state), cfg.model.speech_feature_type))
     net_d = to_torch_tensors(discriminator_params_to_state_dict(
         state.disc_params, state.disc_spectral))
     g_path = out_dir / f"netG-{args.tag}.pt"

@@ -26,13 +26,13 @@ from ste_gan_tpu import constants as C
 from ste_gan_tpu.config import load_config
 from ste_gan_tpu.data.dataset import EMGDataset
 from ste_gan_tpu.infer import EMGSynthesizer, convert_dataset
-from ste_gan_tpu.train.gan import load_trained_state
+from ste_gan_tpu.train.gan import eval_generator_params, load_trained_state
 from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
 
 
 def load_generator_params(run_dir: Path, tag: str):
     _, models, state = load_trained_state(run_dir, tag)
-    return models, state.gen_params
+    return models, eval_generator_params(state)
 
 
 def main() -> None:

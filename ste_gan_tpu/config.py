@@ -135,6 +135,16 @@ class TrainConfig:
     #: tests/test_grad_accum.py). Must divide batch_size. The D phase
     #: re-runs the generator forward per microbatch (remat trade).
     grad_accum: int = 1
+    #: Exponential moving average of the generator weights (0 = off, the
+    #: reference-parity default; typical 0.999). When on, the train state
+    #: carries a gen_ema tree updated in-step (ema = d*ema + (1-d)*params,
+    #: one fused elementwise chain — negligible cost), and validation,
+    #: best-model selection, plots, inference and exports consume the EMA
+    #: weights (train.gan.eval_generator_params). A quality extension
+    #: beyond the reference (standard GAN practice); enable it from step 0
+    #: — a checkpoint written without EMA cannot restore into an EMA
+    #: template (loud structural error).
+    generator_ema: float = 0.0
     #: Rematerialisation (jax.checkpoint) of the step's three activation
     #: producers — the generator forward, the D-phase loss, and the G-phase
     #: loss (discriminator pair passes + frozen encoder). With it on, XLA

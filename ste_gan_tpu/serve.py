@@ -279,7 +279,8 @@ class SynthesisService:
         (scale-out serving; exact — see EMGSynthesizer)."""
         from ste_gan_tpu.infer import EMGSynthesizer
         from ste_gan_tpu.parallel.mesh import create_mesh
-        from ste_gan_tpu.train.gan import load_trained_state
+        from ste_gan_tpu.train.gan import (eval_generator_params,
+                                           load_trained_state)
 
         run_dir = Path(run_dir)
         _, models, state = load_trained_state(run_dir, tag)
@@ -289,7 +290,8 @@ class SynthesisService:
             idx_to_id = json.loads(vocab_path.read_text())
             session_id_to_idx = {v: int(k) for k, v in idx_to_id.items()}
         mesh = create_mesh(data_parallel) if data_parallel > 1 else None
-        synth = EMGSynthesizer(models.generator, state.gen_params, mesh=mesh)
+        synth = EMGSynthesizer(models.generator, eval_generator_params(state),
+                               mesh=mesh)
         service = cls(synth, session_id_to_idx, max_batch=max_batch,
                       max_wait_ms=max_wait_ms, bucket=bucket,
                       max_queue=max_queue)
@@ -344,14 +346,15 @@ class SynthesisService:
                     self.session_id_to_idx = vocab
                 self._source = {"mode": "artifact", "artifact": str(artifact)}
             else:
-                from ste_gan_tpu.train.gan import load_trained_state
+                from ste_gan_tpu.train.gan import (eval_generator_params,
+                                                   load_trained_state)
 
                 run_dir = Path(run_dir if run_dir is not None
                                else self._source["run_dir"])
                 tag = tag if tag is not None else self._source.get(
                     "tag", "best")
                 _, _, state = load_trained_state(run_dir, tag)
-                new_params = state.gen_params
+                new_params = eval_generator_params(state)
                 old_params = self._synth.params
                 if (jax.tree_util.tree_structure(new_params)
                         != jax.tree_util.tree_structure(old_params)):

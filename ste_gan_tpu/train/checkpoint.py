@@ -89,7 +89,7 @@ class CheckpointManager:
         path = self._path(tag)
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
         try:
-            state = self._ckptr.restore(path, abstract)
+            state = _restore_optional_tolerant(self._ckptr, path, abstract)
         except Exception as exc:
             _reraise_with_flavor_hint(exc, path, template)
             raise
@@ -263,4 +263,34 @@ def load_pytree(path: Path, template: Any) -> Any:
     path = Path(path).resolve()
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
-    return ckptr.restore(path, abstract)
+    return _restore_optional_tolerant(ckptr, path, abstract)
+
+
+def _restore_optional_tolerant(ckptr, path, abstract: Any) -> Any:
+    """Restore, tolerating optional (None-valued) top-level state fields
+    that a checkpoint written before the field existed does not contain.
+
+    Orbax records an explicit marker for a None subtree, so a template
+    whose dataclass gained an optional field (e.g. GANTrainState.gen_ema,
+    default None) structurally mismatches pre-field checkpoints even
+    though the field holds no arrays. On that mismatch, retry with the
+    None fields pruned from the template (restoring into a plain dict of
+    the remaining fields — orbax matches nodes by key name) and rebuild
+    the dataclass with the Nones reinstated. A checkpoint that HAS data
+    for the field still mismatches loudly if the template lacks it."""
+    import dataclasses
+
+    try:
+        return ckptr.restore(path, abstract)
+    except ValueError as exc:
+        if ("do not match" not in str(exc)
+                or not dataclasses.is_dataclass(abstract)):
+            raise
+        fields = {f.name: getattr(abstract, f.name)
+                  for f in dataclasses.fields(abstract)}
+        pruned = {k: v for k, v in fields.items() if v is not None}
+        if len(pruned) == len(fields):
+            raise
+        restored = ckptr.restore(path, pruned)
+        return type(abstract)(
+            **{k: restored.get(k, None) for k in fields})

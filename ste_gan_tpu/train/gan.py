@@ -58,6 +58,19 @@ class GANTrainState(struct.PyTreeNode):
     disc_spectral: Any
     opt_g: Any
     opt_d: Any
+    # Exponential moving average of gen_params (train.generator_ema > 0;
+    # a quality extension beyond the reference — the EMA weights are what
+    # validation/plots/inference/exports consume when present, via
+    # eval_generator_params). None (the default) = off: the field
+    # contributes no pytree leaves, so states, checkpoints and sharding
+    # rules are unchanged for every EMA-off run.
+    gen_ema: Any = None
+
+
+def eval_generator_params(state: GANTrainState):
+    """The generator parameters downstream consumers should evaluate:
+    the EMA weights when EMA training is on, the live weights otherwise."""
+    return state.gen_params if state.gen_ema is None else state.gen_ema
 
 
 class _OptaxAdapter:
@@ -181,6 +194,7 @@ def init_state(cfg: Config, models: GANModels, rng: jax.Array) -> GANTrainState:
     disc_vars = jax.jit(partial(models.discriminator.init, train=False))(rng_d, emg)
 
     opt = make_optimizer(cfg)
+    ema_decay = float(getattr(cfg.train, "generator_ema", 0.0))
     return GANTrainState(
         step=jnp.zeros((), jnp.int32),
         gen_params=gen_vars["params"],
@@ -188,6 +202,10 @@ def init_state(cfg: Config, models: GANModels, rng: jax.Array) -> GANTrainState:
         disc_spectral=disc_vars["spectral"],
         opt_g=opt.init(gen_vars["params"]),
         opt_d=opt.init(disc_vars["params"]),
+        # Distinct buffers: gen_params and gen_ema must not alias under
+        # jit buffer donation.
+        gen_ema=(jax.tree.map(jnp.copy, gen_vars["params"])
+                 if ema_decay > 0 else None),
     )
 
 
@@ -203,6 +221,16 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
     use_wave = bool(t.loss_waveform_error)
     optimizer = make_optimizer(cfg)
     feature_key = cfg.model.speech_feature_type
+    ema_decay = float(getattr(t, "generator_ema", 0.0))
+
+    def ema_update(old_ema, new_params):
+        """EMA of the generator weights (state-driven: a state without the
+        gen_ema tree — the default — costs nothing)."""
+        if old_ema is None:
+            return None
+        return jax.tree.map(
+            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+            old_ema, new_params)
 
     def disc_apply(params, spectral, x):
         fmaps, mutated = models.discriminator.apply(
@@ -342,6 +370,7 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
             disc_spectral=spectral,
             opt_g=opt_g,
             opt_d=opt_d,
+            gen_ema=ema_update(state.gen_ema, gen_params),
         )
         return new_state, metrics
 
@@ -442,6 +471,7 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
             disc_spectral=spectral,
             opt_g=opt_g,
             opt_d=opt_d,
+            gen_ema=ema_update(state.gen_ema, gen_params),
         )
         return new_state, metrics
 

@@ -50,8 +50,8 @@ from ste_gan_tpu.parallel.tensor_parallel import (
 from ste_gan_tpu.train.checkpoint import (
     CheckpointManager, load_pytree, restore_from_path)
 from ste_gan_tpu.train.gan import (
-    GANModels, build_models, epoch_lr, init_state, make_eval_step,
-    make_train_step, set_learning_rate)
+    GANModels, build_models, epoch_lr, eval_generator_params, init_state,
+    make_eval_step, make_train_step, set_learning_rate)
 from ste_gan_tpu.utils.logging_utils import MetricLogger, setup_run_logging
 from ste_gan_tpu.utils.metrics import (
     mean_error, phoneme_accuracy, phoneme_accuracy_no_silence)
@@ -495,7 +495,9 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
         val_step = fired(t_cfg.interval_valid)
         if val_step is not None:
             val_start = time.time()
-            val = run_validation(state.gen_params)
+            # With EMA on, validation (and hence best-model selection)
+            # scores the EMA weights — the ones inference/exports ship.
+            val = run_validation(eval_generator_params(state))
             final_val = val
             writer.scalars(val, val_step)
             logging.info("Validation @ %d: %s (%.2fs)", val_step,
@@ -509,7 +511,7 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
 
         sample_step = fired(t_cfg.interval_sample)
         if sample_step is not None:
-            plot_samples(state.gen_params, sample_step)
+            plot_samples(eval_generator_params(state), sample_step)
 
         # The tag carries the step the STATE is at (`last`); in single-step
         # mode that equals the fired multiple, in group mode it may sit up

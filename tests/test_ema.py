@@ -1,0 +1,118 @@
+"""Generator EMA (train.generator_ema): a quality extension beyond the
+reference (standard GAN practice). The train state carries an exponential
+moving average of the generator weights, updated inside the fused step;
+validation/inference/exports consume the EMA weights via
+`train.gan.eval_generator_params`.
+
+Pinned here: the EMA math against a hand-rolled oracle over real steps,
+default-off structural neutrality, checkpoint roundtrip, the grad-accum
+path, and the consumer helper.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ste_gan_tpu.train.gan import (eval_generator_params, init_state,
+                                   make_train_step)
+from tests.test_train_step import synthetic_batch, tiny_cfg, tiny_models
+
+DECAY = 0.5  # large (1-d) so drift is visible within a few steps
+
+
+def _setup(ema: float, **train_over):
+    cfg = tiny_cfg()
+    cfg.train.generator_ema = ema
+    for k, v in train_over.items():
+        setattr(cfg.train, k, v)
+    models, enc_vars = tiny_models(cfg, jax.random.PRNGKey(1))
+    state = init_state(cfg, models, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg, models))
+    return cfg, state, step, enc_vars
+
+
+def test_ema_matches_hand_rolled_oracle():
+    cfg, state, step, enc_vars = _setup(DECAY)
+    oracle = jax.tree.map(np.asarray, state.gen_params)  # ema_0 = params_0
+    for i in range(3):
+        state, _ = step(state, synthetic_batch(cfg, seed=i), enc_vars)
+        oracle = jax.tree.map(
+            lambda e, p: DECAY * e + (1 - DECAY) * np.asarray(p),
+            oracle, state.gen_params)
+    got = jax.tree.map(np.asarray, state.gen_ema)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        got, oracle)
+    # EMA lags the live weights (they moved, decay < 1).
+    diffs = jax.tree.map(lambda e, p: float(np.abs(e - np.asarray(p)).max()),
+                         got, state.gen_params)
+    assert max(jax.tree.leaves(diffs)) > 0
+
+
+def test_ema_update_rides_grad_accum():
+    cfg, state, step, enc_vars = _setup(DECAY, grad_accum=2)
+    batch = synthetic_batch(cfg)
+    state, _ = step(state, batch, enc_vars)
+    want = jax.tree.map(
+        lambda e0, p1: DECAY * np.asarray(e0) + (1 - DECAY) * np.asarray(p1),
+        init_state(cfg, tiny_models(cfg, jax.random.PRNGKey(1))[0],
+                   jax.random.PRNGKey(0)).gen_params,
+        state.gen_params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), b, rtol=1e-6, atol=1e-7),
+        state.gen_ema, want)
+
+
+def test_default_off_is_structurally_neutral():
+    cfg, state, step, enc_vars = _setup(0.0)
+    assert state.gen_ema is None
+    state, _ = step(state, synthetic_batch(cfg), enc_vars)
+    assert state.gen_ema is None
+    # eval params ARE the live params when EMA is off.
+    assert eval_generator_params(state) is state.gen_params
+
+
+def test_eval_generator_params_prefers_ema():
+    cfg, state, step, enc_vars = _setup(DECAY)
+    state, _ = step(state, synthetic_batch(cfg), enc_vars)
+    assert eval_generator_params(state) is state.gen_ema
+
+
+def test_pre_ema_checkpoint_restores_into_new_state(tmp_path):
+    """Checkpoints written before GANTrainState.gen_ema existed have no
+    entry for it at all (orbax otherwise records an explicit None marker);
+    the tolerant restore reinstates the optional field as None instead of
+    failing the structural match — old run dirs stay resumable."""
+    import dataclasses
+
+    from ste_gan_tpu.train.checkpoint import CheckpointManager, save_pytree
+
+    cfg, state, step, enc_vars = _setup(0.0)
+    legacy = {f.name: getattr(state, f.name)
+              for f in dataclasses.fields(state) if f.name != "gen_ema"}
+    save_pytree(tmp_path / "best", legacy)
+
+    restored, _ = CheckpointManager(tmp_path).restore("best", state)
+    assert restored.gen_ema is None
+    np.testing.assert_array_equal(np.asarray(restored.step),
+                                  np.asarray(state.step))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        restored.gen_params, state.gen_params)
+
+
+def test_checkpoint_roundtrip_with_ema(tmp_path):
+    from ste_gan_tpu.train.checkpoint import CheckpointManager
+
+    cfg, state, step, enc_vars = _setup(DECAY)
+    state, _ = step(state, synthetic_batch(cfg), enc_vars)
+    ckpt = CheckpointManager(tmp_path)
+    ckpt.save("best", state, epoch=0)
+    template = init_state(cfg, tiny_models(cfg, jax.random.PRNGKey(1))[0],
+                          jax.random.PRNGKey(0))
+    restored, _ = ckpt.restore("best", template)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        restored.gen_ema, state.gen_ema)
