@@ -21,12 +21,21 @@ crashes it recovers from include the OOM-killer, preemption of one host,
 and hardware faults — anything that exits a process without poisoning
 the checkpoint directory.
 
+With ``--elastic`` the supervisor additionally handles *permanent*
+capacity loss: instead of respawning at full size (and hanging if the
+dead host never returns), each failed attempt halves the world size
+(floor ``--min_processes``) and restores the topology-elastic recovery
+checkpoint onto the smaller mesh — training continues the same
+trajectory on the surviving capacity
+(`tests/test_launch.py::TestElasticRecovery`).
+
 Usage (CPU fleet, the multi-host stand-in; on a real pod drop
 ``--cpu_devices`` and give each host's address via --coordinator_host):
 
     python -m ste_gan_tpu.parallel.launch \
         --num_processes 2 --cpu_devices 4 --steps 6 \
-        --ckpt_every 2 --run_dir /tmp/fleet [--fsdp] [--model_parallel 2]
+        --ckpt_every 2 --run_dir /tmp/fleet \
+        [--elastic] [--fsdp] [--model_parallel 2]
 """
 from __future__ import annotations
 
@@ -68,6 +77,12 @@ class FleetLauncher:
         self.ckpt_dir = self.run_dir / "recovery"
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self.ckpt_dir.mkdir(exist_ok=True)
+        # Current world size. With --elastic it SHRINKS on restart (a lost
+        # host is modeled as permanently gone); without, restarts respawn
+        # at full size (the lost host is expected back).
+        self.world = args.num_processes
+        self.elastic = getattr(args, "elastic", False)
+        self.min_processes = getattr(args, "min_processes", 1)
 
     # -- one attempt ------------------------------------------------------
     def _spawn(self, attempt: int, start_step: int,
@@ -86,7 +101,7 @@ class FleetLauncher:
         cmd_base = [
             sys.executable, "-m", "ste_gan_tpu.parallel.multiprocess",
             "--coordinator", f"{a.coordinator_host}:{port}",
-            "--num_processes", str(a.num_processes),
+            "--num_processes", str(self.world),
             "--steps", str(a.steps - start_step),
             "--start_step", str(start_step),
             "--ckpt_every", str(a.ckpt_every),
@@ -101,7 +116,7 @@ class FleetLauncher:
             cmd_base += ["--model_parallel", str(a.model_parallel)]
 
         procs = []
-        for i in range(a.num_processes):
+        for i in range(self.world):
             log = (out / f"log_p{i}.txt").open("w")
             p = subprocess.Popen(cmd_base + ["--process_id", str(i)],
                                  stdout=log, stderr=subprocess.STDOUT,
@@ -146,6 +161,7 @@ class FleetLauncher:
     def run(self) -> dict:
         restarts = 0
         recovered_from: List[int] = []
+        world_sizes: List[int] = [self.world]
         while True:
             rec = latest_recovery_point(self.ckpt_dir) if restarts else None
             start = rec[0] if rec else 0
@@ -153,7 +169,7 @@ class FleetLauncher:
             if restarts:
                 recovered_from.append(start)
                 print(f"[launch] restart {restarts}: recovering from "
-                      f"step {start}"
+                      f"step {start} with {self.world} process(es)"
                       + (f" ({restore})" if restore else " (scratch)"),
                       flush=True)
             procs, out = self._spawn(restarts, start, restore)
@@ -162,6 +178,7 @@ class FleetLauncher:
                     "ok": True,
                     "steps": self.args.steps,
                     "num_processes": self.args.num_processes,
+                    "world_sizes": world_sizes,
                     "restarts": restarts,
                     "recovered_from": recovered_from,
                     "final_out": str(out),
@@ -172,8 +189,23 @@ class FleetLauncher:
                       flush=True)
                 return summary
             restarts += 1
+            if self.elastic and self.world > self.min_processes:
+                # Elastic recovery: the dead process's host is treated as
+                # permanently lost — relaunch the fleet at half the world
+                # size instead of waiting for capacity that may not return.
+                # The recovery checkpoints are topology-elastic (each
+                # process restores only its addressable shards of the new,
+                # smaller mesh; tests/test_multiprocess_ckpt.py), and the
+                # global batch is a pure function of (seed, step), so the
+                # shrunk fleet continues the SAME trajectory (reduction
+                # order over fewer devices is the only difference).
+                self.world = max(self.min_processes, self.world // 2)
+                print(f"[launch] elastic: shrinking world to {self.world} "
+                      "process(es)", flush=True)
+            world_sizes.append(self.world)
             if restarts > self.args.max_restarts:
                 summary = {"ok": False, "restarts": restarts - 1,
+                           "world_sizes": world_sizes[:-1],
                            "recovered_from": recovered_from,
                            "failed_attempt": str(out)}
                 (self.run_dir / "summary.json").write_text(
@@ -202,6 +234,14 @@ def main() -> None:
                          "(the multi-host simulation mode); 0 = inherit "
                          "the real platform")
     ap.add_argument("--coordinator_host", default="localhost")
+    ap.add_argument("--elastic", action="store_true",
+                    help="shrink the world on restart instead of "
+                         "respawning at full size: each failed attempt "
+                         "halves num_processes (floor --min_processes), "
+                         "modeling a permanently lost host; the "
+                         "topology-elastic recovery checkpoints restore "
+                         "onto the smaller mesh and training continues")
+    ap.add_argument("--min_processes", type=int, default=1)
     ap.add_argument("--fsdp", action="store_true")
     ap.add_argument("--model_parallel", type=int, default=1)
     args = ap.parse_args()

@@ -26,11 +26,13 @@ STEPS = 6
 CRASH_AT = 5  # proc 1 dies just before step 5; last recovery point = 4
 
 
-def _launcher_args(run_dir: Path) -> argparse.Namespace:
-    return argparse.Namespace(
+def _launcher_args(run_dir: Path, **over) -> argparse.Namespace:
+    base = dict(
         num_processes=2, steps=STEPS, run_dir=run_dir, ckpt_every=2,
         max_restarts=2, attempt_timeout=900, cpu_devices=4,
         coordinator_host="localhost", fsdp=False, model_parallel=1)
+    base.update(over)
+    return argparse.Namespace(**base)
 
 
 @pytest.fixture(scope="module")
@@ -52,6 +54,55 @@ def recovered(tmp_path_factory):
     finally:
         del os.environ["STE_MP_CRASH"]
     return run_dir, flag, summary
+
+
+@pytest.fixture(scope="module")
+def elastic_recovered(tmp_path_factory):
+    """Elastic recovery: process 1 dies just before step 3 and its host is
+    modeled as permanently lost — the supervisor relaunches ONE process
+    (4 devices instead of 8) from the step-2 recovery checkpoint (the
+    checkpoints are topology-elastic) and the run completes at the
+    smaller world size."""
+    run_dir = tmp_path_factory.mktemp("elastic_fleet")
+    flag = run_dir / "crash.flag"
+    os.environ["STE_MP_CRASH"] = f"3:1:{flag}"
+    try:
+        summary = FleetLauncher(_launcher_args(
+            run_dir, elastic=True, min_processes=1)).run()
+    finally:
+        del os.environ["STE_MP_CRASH"]
+    return run_dir, flag, summary
+
+
+class TestElasticRecovery:
+    def test_world_shrank_and_completed(self, elastic_recovered):
+        run_dir, flag, summary = elastic_recovered
+        assert flag.exists(), "fault injection never fired"
+        assert summary["ok"]
+        assert summary["restarts"] == 1
+        assert summary["world_sizes"] == [2, 1]
+        assert summary["recovered_from"] == [2]
+        # The final attempt really ran single-process: exactly one state
+        # file, and process 1's log exists only for the crashed attempt.
+        out = Path(summary["final_out"])
+        assert (out / "state_p0.npz").exists()
+        assert not (out / "state_p1.npz").exists()
+        assert (run_dir / "attempt_0" / "log_p1.txt").exists()
+
+    def test_shrunk_fleet_continues_the_trajectory(self, elastic_recovered,
+                                                   oracle):
+        """The half-size fleet continues the SAME training trajectory: the
+        global batch is a pure function of (seed, step) and the restored
+        state is exact, so the only difference vs the uninterrupted
+        8-device oracle is gradient reduction order over 4 devices."""
+        _, _, summary = elastic_recovered
+        want, _ = oracle
+        got = dict(np.load(Path(summary["final_out"]) / "state_p0.npz"))
+        assert set(got) == set(want)
+        for key in want:
+            np.testing.assert_allclose(
+                got[key], want[key], rtol=5e-4, atol=1e-5,
+                err_msg=f"elastic fleet != uninterrupted run at {key}")
 
 
 class TestFleetRecovery:
