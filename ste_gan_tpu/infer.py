@@ -254,3 +254,110 @@ def convert_dataset(synth: EMGSynthesizer, dataset,
                     C.DataType.SESSION_ID: items[i][C.DataType.SESSION_ID],
                 }
     return results
+
+
+# ---------------------------------------------------------------------------
+# The decode direction: 800 Hz EMG -> 50 Hz (speech units, phonemes)
+# ---------------------------------------------------------------------------
+
+
+def decoder_receptive_field_frames(model) -> int:
+    """Per-side receptive field of the EMG encoder in 50 Hz frames.
+
+    The encoder's attention is hard-windowed: relative offsets at or
+    beyond ``relative_positional_distance`` get a -1e8 logit
+    (models/transformer.py, reference ste_gan/layers/transformer.py:
+    255-262), so each of the L transformer layers extends a frame's
+    dependency cone by at most ±(distance-1) frames; the strided conv
+    front adds under ±1 frame (4 stride-2 k3 blocks ≈ ±15 EMG samples),
+    budgeted as ±2. This bound is what makes EXACT streaming decoding
+    possible — unlike an unwindowed transformer, a frame's output is a
+    function of a bounded input span."""
+    return (model.num_transformer_layers
+            * (model.relative_positional_distance - 1) + 2)
+
+
+class EMGDecoder:
+    """EMG -> (speech units, phoneme logits): the silent-speech *decoding*
+    direction, as a first-class inference API (the reference only runs its
+    encoder inside training loops; the serving/export pendants are
+    serve.py ``/decode`` and scripts/export_emg_encoder.py).
+
+    ``decode`` runs one full-length utterance exactly (one compile per
+    distinct length — fine for evaluation); ``decode_streaming`` yields
+    fixed-latency chunks that are exact: every emitted frame sees its
+    full dependency cone (`decoder_receptive_field_frames`) of REAL
+    samples, because windows are fixed-length spans of the true signal
+    (shifted inward at the edges, never zero-padded), so one XLA program
+    serves every chunk.
+    """
+
+    def __init__(self, model, variables):
+        self.model = model
+        self.variables = variables
+        self._forward = jax.jit(
+            lambda v, emg: model.apply(v, emg, train=False))
+
+    @classmethod
+    def from_checkpoint(cls, cfg: Config, ckpt_path) -> "EMGDecoder":
+        """Load from an encoder training run's Orbax checkpoint (e.g.
+        ``<enc_run>/best_val_loss_model``)."""
+        from ste_gan_tpu.models.emg_encoder import init_emg_encoder
+        from ste_gan_tpu.train.checkpoint import load_pytree
+
+        model = init_emg_encoder(cfg)
+        template = jax.jit(lambda r: model.init(
+            r, jnp.zeros((1, 16 * 8, cfg.data.num_emg_channels)),
+            train=False))(jax.random.PRNGKey(0))
+        return cls(model, load_pytree(ckpt_path, template))
+
+    def decode(self, emg: np.ndarray):
+        """[T, C] EMG (T a multiple of 16) -> ([F, 256] units,
+        [F, 48] phoneme logits), F = T // 16. Exact (no padding)."""
+        if emg.shape[0] % C.HOPSIZE:
+            raise ValueError(
+                f"EMG length {emg.shape[0]} must be a multiple of "
+                f"{C.HOPSIZE} (one 50 Hz frame of 800 Hz samples)")
+        units, ph = self._forward(self.variables, jnp.asarray(emg)[None])
+        return np.asarray(units[0]), np.asarray(ph[0])
+
+    def decode_streaming(self, emg: np.ndarray, chunk_frames: int = 100,
+                         context_frames: Optional[int] = None):
+        """Chunked decoding: yields ``([chunk, 256], [chunk, 48])`` pairs
+        covering the utterance in order; concatenated they EQUAL
+        :meth:`decode`'s full-utterance result (to float reduction noise).
+
+        ``context_frames`` defaults to the model's exact dependency bound
+        (`decoder_receptive_field_frames`). Smaller values trade
+        exactness near chunk edges for lower latency/compute: the
+        algorithmic lookahead is ``context_frames`` frames
+        (``context_frames / 50`` seconds of EMG).
+
+        Windows are fixed-length spans of the true signal: a window
+        nominally ``[start - ctx, stop + ctx)`` is shifted inward when it
+        would cross the signal edges, keeping its length constant (one
+        compiled shape) and its content real samples (zero-padding inside
+        the attention window would perturb outputs — the encoder has no
+        valid-length mask input). Utterances shorter than one window fall
+        back to a single exact full decode."""
+        hop = C.HOPSIZE
+        if emg.shape[0] % hop:
+            raise ValueError(
+                f"EMG length {emg.shape[0]} must be a multiple of {hop}")
+        total = emg.shape[0] // hop
+        ctx = (decoder_receptive_field_frames(self.model)
+               if context_frames is None else context_frames)
+        target = chunk_frames + 2 * ctx
+        if total <= target:
+            units, ph = self.decode(emg)
+            for start in range(0, total, chunk_frames):
+                stop = min(start + chunk_frames, total)
+                yield units[start:stop], ph[start:stop]
+            return
+        for start in range(0, total, chunk_frames):
+            stop = min(start + chunk_frames, total)
+            lo = min(max(0, start - ctx), total - target)
+            window = jnp.asarray(emg[lo * hop:(lo + target) * hop])
+            units, ph = self._forward(self.variables, window[None])
+            yield (np.asarray(units[0, start - lo:stop - lo]),
+                   np.asarray(ph[0, start - lo:stop - lo]))
