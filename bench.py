@@ -74,6 +74,10 @@ def main() -> None:
         # ~B/K at the cost of an extra generator forward per microbatch
         # (train/gan.py::train_step_accum; math equals the full batch).
         cfg.train.grad_accum = int(os.environ["STE_BENCH_GRAD_ACCUM"])
+    if os.environ.get("STE_BENCH_EMA"):
+        # Generator weight EMA (train.generator_ema): one extra fused
+        # elementwise chain over the generator tree per step.
+        cfg.train.generator_ema = 0.999
     if os.environ.get("STE_BENCH_REMAT"):
         # Rematerialise activations (jax.checkpoint around the generator
         # forward + both loss phases): memory knob, identical math
