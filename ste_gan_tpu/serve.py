@@ -433,14 +433,16 @@ class EMGDecoderService:
     artifact's windowed rel-pos regime) so the compiled-program cache
     stays tiny.
 
-    Caveat: the encoder's attention is global and unmasked (as in the
-    reference, which only ever evaluates exact-length batch-1 signals), so
-    zero-padding to the bucket perturbs valid-frame outputs slightly —
-    the same effect as decoding a zero-padded recording. ``bucket=1``
-    (pad only to the 16-sample hop) minimizes it at the cost of one
-    compiled program per distinct length; the synthesis-quality benchmark
-    decodes 64-frame-bucketed signals at 99.95% phoneme accuracy, so the
-    default is fine in practice."""
+    Caveat: the encoder has no valid-length mask input (as in the
+    reference, which only ever evaluates exact-length batch-1 signals),
+    and its rel-pos attention window spans ±(distance−1) frames, so
+    zero-padding to the bucket perturbs the valid frames within that
+    window of the pad — the same effect as decoding a zero-padded
+    recording. ``bucket=1`` (pad only to the 16-sample hop) minimizes it
+    at the cost of one compiled program per distinct length; the
+    synthesis-quality benchmark decodes 64-frame-bucketed signals at
+    99.95% phoneme accuracy, so the default is fine in practice. (For
+    offline exact chunked decoding use `infer.EMGDecoder`.)"""
 
     def __init__(self, artifact: Path, bucket: int = 64,
                  min_frames: Optional[int] = None, max_concurrent: int = 4):
@@ -451,7 +453,8 @@ class EMGDecoderService:
         # input aval; the minimum frame count from the meta sidecar the
         # export CLI writes (it tracks the encoder's
         # relative_positional_distance — see export_emg_encoder).
-        self.channels = int(self._exported.in_avals[0].shape[-1])
+        self._call = self._exported.call
+        channels = int(self._exported.in_avals[0].shape[-1])
         meta_path = Path(str(artifact) + ".meta.json")
         if min_frames is None:
             if meta_path.exists():
@@ -459,6 +462,32 @@ class EMGDecoderService:
                     meta_path.read_text())["min_frames"])
             else:
                 min_frames = 101  # the default encoder's rel-pos window + 1
+        self._init_common(channels, bucket, min_frames, max_concurrent)
+
+    @classmethod
+    def from_checkpoint(cls, cfg, ckpt_path: Path, bucket: int = 64,
+                        min_frames: Optional[int] = None,
+                        max_concurrent: int = 4) -> "EMGDecoderService":
+        """Serve the decode direction straight from an encoder training
+        checkpoint (no export step) — the checkpoint twin of the artifact
+        constructor. ``cfg`` supplies the encoder architecture
+        (``cfg.emg_encoder.params``), e.g. the served run's config.yaml."""
+        from ste_gan_tpu.infer import EMGDecoder
+
+        decoder = EMGDecoder.from_checkpoint(cfg, ckpt_path)
+        self = cls.__new__(cls)
+        self._exported = None
+        self._call = lambda padded: decoder._forward(decoder.variables,
+                                                     padded)
+        if min_frames is None:
+            min_frames = decoder.model.relative_positional_distance + 1
+        self._init_common(cfg.data.num_emg_channels, bucket, min_frames,
+                          max_concurrent)
+        return self
+
+    def _init_common(self, channels: int, bucket: int, min_frames: int,
+                     max_concurrent: int) -> None:
+        self.channels = channels
         self.bucket = max(1, bucket)
         self.min_frames = min_frames
         # Bounded concurrency = the /synthesize queue's backpressure
@@ -493,7 +522,7 @@ class EMGDecoderService:
             start = time.perf_counter()
             padded = np.zeros((1, pad * C.HOPSIZE, emg.shape[1]), np.float32)
             padded[0, : frames * C.HOPSIZE] = emg[: frames * C.HOPSIZE]
-            units, ph = self._exported.call(padded)
+            units, ph = self._call(padded)
             out = (np.asarray(units[0, :frames]), np.asarray(ph[0, :frames]))
         finally:
             self._slots.release()
@@ -670,6 +699,12 @@ def main() -> None:
                     help="exported EMG-encoder artifact "
                          "(scripts/export_emg_encoder.py); enables "
                          "POST /decode (EMG -> units + phonemes)")
+    ap.add_argument("--decoder_ckpt", type=Path, default=None,
+                    help="EMG-encoder training checkpoint (e.g. "
+                         "<enc_run>/best_val_loss_model); enables "
+                         "POST /decode straight from the checkpoint, no "
+                         "export step (requires --run_dir for the encoder "
+                         "architecture config)")
     ap.add_argument("--decode_min_frames", type=int, default=None,
                     help="override the decoder's minimum 50 Hz frame "
                          "count (normally read from the artifact's "
@@ -702,6 +737,17 @@ def main() -> None:
         decoder = EMGDecoderService(args.decoder_artifact,
                                     bucket=args.bucket,
                                     min_frames=args.decode_min_frames)
+    elif args.decoder_ckpt is not None:
+        if args.run_dir is None:
+            raise SystemExit("--decoder_ckpt needs --run_dir (the run's "
+                             "config.yaml supplies the encoder "
+                             "architecture); with --artifact use "
+                             "--decoder_artifact instead")
+        from ste_gan_tpu.config import load_config
+        decoder = EMGDecoderService.from_checkpoint(
+            load_config(config=Path(args.run_dir) / "config.yaml"),
+            args.decoder_ckpt, bucket=args.bucket,
+            min_frames=args.decode_min_frames)
     print(f"warming up (bucket={args.bucket})...", flush=True)
     service.warmup(num_frames=args.bucket, batch_sizes=(1,))
     if decoder is not None:

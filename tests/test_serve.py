@@ -317,6 +317,42 @@ class TestDecodeEndpoint:
             service.close()
 
 
+class TestCheckpointDecoder:
+    """EMGDecoderService.from_checkpoint: POST /decode served straight
+    from an encoder training checkpoint — no export step."""
+
+    def test_checkpoint_decoder_matches_model(self, tmp_path, rng):
+        from ste_gan_tpu.config import Config
+        from ste_gan_tpu.models.emg_encoder import init_emg_encoder
+        from ste_gan_tpu.serve import EMGDecoderService
+        from ste_gan_tpu.train.checkpoint import save_pytree
+
+        cfg = Config()
+        cfg.emg_encoder.params = {
+            "model_size": 32, "num_extra_res_blocks": 3,
+            "num_transformer_layers": 1, "dropout": 0.0,
+            "relative_positional_distance": 8,
+        }
+        model = init_emg_encoder(cfg)
+        variables = jax.jit(lambda r: model.init(
+            r, jnp.zeros((1, 16 * 8, 8)), train=False)
+        )(jax.random.PRNGKey(3))
+        save_pytree(tmp_path / "enc", variables)
+
+        service = EMGDecoderService.from_checkpoint(
+            cfg, tmp_path / "enc", bucket=8)
+        assert service.channels == 8
+        assert service.min_frames == 9  # rel-pos distance + 1
+
+        emg = (rng.normal(size=(16 * 24, 8)) * 0.1).astype(np.float32)
+        units, ph = service.decode(emg)
+        assert units.shape == (24, 256) and ph.shape == (24, 48)
+        want_u, _ = model.apply(variables, jnp.asarray(emg)[None],
+                                train=False)
+        np.testing.assert_allclose(units, np.asarray(want_u[0]), atol=1e-5)
+        assert service.stats_snapshot()["requests"] == 1
+
+
 class TestHotReload:
     """POST /reload: weights hot-swap without downtime. Checkpoint mode
     swaps the param pytree under the same compiled program; structural
