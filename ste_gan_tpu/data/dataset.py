@@ -91,15 +91,26 @@ class EMGDataset:
         self.train_emg_length = train_emg_length
         self._cache: Optional[Dict[int, Dict]] = {} if cache else None
 
+        # Packed single-file split (data/packed.py): lengths/channels come
+        # from the index (zero startup IO), arrays from one mmap. Items
+        # are identical to the directory layout's (tests/test_packed.py).
+        from ste_gan_tpu.data.packed import PackedSplit
+        self._packed = PackedSplit.maybe_open(self.split_dir)
+
         is_test = partition == "test"
         emg_dir = self.split_dir / C.DataDir.EMG
-        emg_paths = sorted(list(emg_dir.glob("*.npy")) + list(emg_dir.glob("*.pt")))
+        if self._packed is not None:
+            candidates = [(emg_dir / f"{utt}.npy", length)
+                          for utt, length in self._packed.emg_infos()]
+        else:
+            paths = sorted(list(emg_dir.glob("*.npy"))
+                           + list(emg_dir.glob("*.pt")))
+            candidates = [(p, len(_load_array(p))) for p in paths]
 
         self.emg_paths: List[Path] = []
         self.emg_lengths: List[int] = []
         num_filtered = 0
-        for emg_path in emg_paths:
-            emg_len = len(_load_array(emg_path))
+        for emg_path, emg_len in candidates:
             if filter_by_length and emg_len < train_emg_length and not is_test:
                 num_filtered += 1
                 continue
@@ -115,13 +126,17 @@ class EMGDataset:
                      len(self.emg_paths), num_filtered)
 
         self.utt_ids = [p.stem for p in self.emg_paths]
-        self.transcripts = [
-            (self.split_dir / C.DataDir.TRANSCRIPTIONS / f"{utt}.txt")
-            .read_text().strip().lower()
-            if (self.split_dir / C.DataDir.TRANSCRIPTIONS / f"{utt}.txt").exists()
-            else ""
-            for utt in self.utt_ids
-        ]
+        if self._packed is not None:
+            self.transcripts = [self._packed.transcription(utt)
+                                for utt in self.utt_ids]
+        else:
+            self.transcripts = [
+                (self.split_dir / C.DataDir.TRANSCRIPTIONS / f"{utt}.txt")
+                .read_text().strip().lower()
+                if (self.split_dir / C.DataDir.TRANSCRIPTIONS / f"{utt}.txt").exists()
+                else ""
+                for utt in self.utt_ids
+            ]
 
         self.session_ids = [utt_id_to_session_id(u) for u in self.utt_ids]
         self.speaking_mode_ids = [utt_id_to_speaking_mode(u) for u in self.utt_ids]
@@ -153,6 +168,8 @@ class EMGDataset:
 
     @property
     def num_emg_channels(self) -> int:
+        if self._packed is not None:
+            return self._packed.num_emg_channels
         if not self.emg_paths:
             raise RuntimeError("empty dataset — cannot determine channel count")
         return int(_load_array(self.emg_paths[0]).shape[-1])
@@ -178,22 +195,26 @@ class EMGDataset:
 
         emg_path = self.emg_paths[index]
         stem = emg_path.stem
-        real_emg = np.asarray(_load_array(emg_path), np.float32)
-        units = np.asarray(_load_array(
-            _find_artifact(self.split_dir / C.DataDir.SPEECH_UNITS, stem)), np.float32)
-        phonemes = np.asarray(_load_array(
-            _find_artifact(self.split_dir / C.DataDir.PHONEMES, stem)), np.int32)
+
+        def field(name: str, directory: str, dtype) -> np.ndarray:
+            if self._packed is not None:
+                return np.asarray(self._packed.load(stem, name), dtype)
+            if name == "emg":
+                return np.asarray(_load_array(emg_path), dtype)
+            return np.asarray(_load_array(
+                _find_artifact(self.split_dir / directory, stem)), dtype)
+
+        real_emg = field("emg", C.DataDir.EMG, np.float32)
+        units = field("units", C.DataDir.SPEECH_UNITS, np.float32)
+        phonemes = field("phonemes", C.DataDir.PHONEMES, np.int32)
 
         mfccs = None
         if self.return_mfccs:
-            mfccs = np.asarray(_load_array(
-                _find_artifact(self.split_dir / C.DataDir.MFCCS, stem)), np.float32)
+            mfccs = field("mfccs", C.DataDir.MFCCS, np.float32)
         emg_feats = None
         if self.return_emg_feats:
             try:
-                emg_feats = np.asarray(_load_array(
-                    _find_artifact(self.split_dir / C.DataDir.EMG_FEATS, stem)),
-                    np.float32)
+                emg_feats = field("emg_feats", C.DataDir.EMG_FEATS, np.float32)
             except FileNotFoundError:
                 emg_feats = None
 
