@@ -30,12 +30,20 @@ analogue for the TPU build:
 NumPy byte payloads (not JSON) keep the host path at memcpy speed; the
 dynamic batcher is what turns N concurrent RTF-0.007 requests into ~1
 device call instead of N.
+
+A :class:`HostMemoryWatchdog` (``--host_rss_restart_gb``, default 48)
+bounds the process lifetime under per-transfer host-memory leaks (the
+remote-TPU tunnel pathology documented in utils/hostmem.py): past the
+limit the server drains in-flight requests (new ones get 503 +
+Retry-After, ``/healthz`` turns not-ready) and exec-restarts itself on
+the *current* model source — hot-reloaded weights survive the restart.
 """
 from __future__ import annotations
 
 import argparse
 import io
 import json
+import logging
 import queue
 import threading
 import time
@@ -83,6 +91,116 @@ class ServiceOverloadedError(RuntimeError):
     """Raised by :meth:`MicroBatcher.submit` when the bounded request
     queue is full — backpressure instead of silent unbounded growth. The
     HTTP front-end maps it to 503 + Retry-After."""
+
+
+class HostMemoryWatchdog:
+    """Bounds the serving process's lifetime under host-memory leaks.
+
+    Some PJRT transports leak host memory per H2D transfer and their
+    dispatch latency grows with RSS (utils/hostmem.py documents the
+    measured pathology), so a server that ships one features buffer to the
+    device per request degrades without ever crashing. This watchdog
+    checks RSS after each completed request; past ``limit_gb`` it flips to
+    *draining* — new work gets 503 + Retry-After (load balancers also see
+    ``/healthz`` turn not-ready), in-flight requests finish — and once
+    idle it fires ``restart_fn`` (production: stop the server loop so
+    ``main`` exec-restarts the process; the persistent compilation cache
+    makes the replacement's warmup a cache hit, and ``main`` re-serves the
+    *current* model source, surviving earlier ``/reload`` hot-swaps).
+
+    ``limit_gb <= 0`` disables every check. RSS is only checked after a
+    completed request, so even an over-budget baseline serves at least
+    one request per incarnation — degenerate limits degrade throughput
+    rather than livelock. ``rss_fn``/``restart_fn`` are injectable for
+    tests.
+    """
+
+    def __init__(self, limit_gb: float, rss_fn=None, restart_fn=None,
+                 drain_timeout_s: float = 900.0):
+        from ste_gan_tpu.utils.hostmem import host_rss_gb
+        self.limit_gb = float(limit_gb)
+        self.rss_fn = rss_fn or host_rss_gb
+        self.restart_fn = restart_fn  # may be bound after server creation
+        self.drain_timeout_s = drain_timeout_s
+        self.draining = threading.Event()
+        self.restart_fired = threading.Event()
+        self._lock = threading.Lock()
+        self._inflight = 0
+        self._served = 0
+        self.last_rss_gb = 0.0
+
+    def request_starts(self) -> bool:
+        """Admission check; False means reject with 503 (draining)."""
+        if self.draining.is_set():
+            return False
+        with self._lock:
+            self._inflight += 1
+        return True
+
+    def request_ends(self) -> None:
+        with self._lock:
+            self._inflight -= 1
+            self._served += 1
+            served = self._served
+        if self.limit_gb <= 0 or self.draining.is_set() or served < 1:
+            return
+        rss = self.rss_fn()
+        self.last_rss_gb = rss
+        if rss > self.limit_gb:
+            self.draining.set()
+            logging.warning(
+                "serve: host RSS %.1f GiB > %.1f GiB after %d requests — "
+                "draining for restart", rss, self.limit_gb, served)
+            threading.Thread(target=self._drain_then_restart,
+                             daemon=True).start()
+
+    def _drain_then_restart(self) -> None:
+        deadline = time.monotonic() + self.drain_timeout_s
+        while time.monotonic() < deadline:
+            with self._lock:
+                if self._inflight == 0:
+                    break
+            time.sleep(0.05)
+        self.restart_fired.set()
+        if self.restart_fn is not None:
+            self.restart_fn()
+
+    def snapshot(self) -> Dict:
+        with self._lock:
+            inflight = self._inflight
+        return {
+            "host_rss_gb": round(self.rss_fn(), 3),
+            "host_rss_limit_gb": self.limit_gb,
+            "draining": self.draining.is_set(),
+            "inflight": inflight,
+        }
+
+
+def _restart_argv(argv: List[str], source: Dict) -> List[str]:
+    """CLI args for the post-restart incarnation: ``argv`` (this process's
+    args after the program name) with the model-source flags rewritten to
+    the service's *current* source, so weights hot-swapped via ``/reload``
+    survive the exec-restart."""
+    out: List[str] = []
+    skip = False
+    drop = ("--run_dir", "--tag", "--artifact")
+    for arg in argv:
+        if skip:
+            skip = False
+            continue
+        if arg in drop:
+            skip = True
+            continue
+        if any(arg.startswith(f"{flag}=") for flag in drop):
+            continue
+        out.append(arg)
+    if source.get("mode") == "artifact":
+        out += ["--artifact", str(source["artifact"])]
+    else:
+        out += ["--run_dir", str(source["run_dir"])]
+        if source.get("tag"):
+            out += ["--tag", str(source["tag"])]
+    return out
 
 
 @dataclass
@@ -549,12 +667,22 @@ class EMGDecoderService:
 
 def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
                      port: int = 8571,
-                     decoder: Optional[EMGDecoderService] = None):
+                     decoder: Optional[EMGDecoderService] = None,
+                     watchdog: Optional[HostMemoryWatchdog] = None):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
+
+        def _send_503(self, message: str) -> None:
+            body = json.dumps({"error": message}).encode()
+            self.send_response(503)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Retry-After", "1")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def _json(self, code: int, obj) -> None:
             body = json.dumps(obj).encode()
@@ -578,13 +706,20 @@ def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"ok": True})
+                draining = (watchdog is not None
+                            and watchdog.draining.is_set())
+                # Not-ready during a drain so load balancers stop routing
+                # here before the restart closes the socket.
+                self._json(503 if draining else 200,
+                           {"ok": not draining, "draining": draining})
             elif self.path == "/stats":
                 stats = service.batcher.stats_snapshot()
                 stats["reloads"] = service.reload_count
                 stats["model_source"] = dict(service._source)
                 if decoder is not None:
                     stats["decode"] = decoder.stats_snapshot()
+                if watchdog is not None:
+                    stats["host_memory"] = watchdog.snapshot()
                 self._json(200, stats)
             else:
                 self._json(404, {"error": "not found"})
@@ -597,6 +732,18 @@ def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
             return feats, session, mode
 
         def do_POST(self):
+            if watchdog is not None:
+                if not watchdog.request_starts():
+                    self._send_503("server draining to reclaim host "
+                                   "memory; restarting — retry shortly")
+                    return
+            try:
+                self._do_post_inner()
+            finally:
+                if watchdog is not None:
+                    watchdog.request_ends()
+
+        def _do_post_inner(self):
             try:
                 if self.path == "/synthesize":
                     feats, session, mode = self._read_payload()
@@ -652,13 +799,7 @@ def make_http_server(service: SynthesisService, host: str = "127.0.0.1",
                 self._json(501, {"error": str(exc)})
             except ServiceOverloadedError as exc:
                 try:
-                    body = json.dumps({"error": str(exc)}).encode()
-                    self.send_response(503)
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Retry-After", "1")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
+                    self._send_503(str(exc))
                 except Exception:
                     pass
             except Exception as exc:
@@ -710,6 +851,11 @@ def main() -> None:
                          "count (normally read from the artifact's "
                          ".meta.json sidecar: the encoder's rel-pos "
                          "window + 1)")
+    ap.add_argument("--host_rss_restart_gb", type=float, default=48.0,
+                    help="host-RSS watchdog: past this, drain in-flight "
+                         "requests (new ones get 503) and exec-restart "
+                         "the process to shed leaked H2D buffers "
+                         "(utils/hostmem.py); 0 disables")
     args = ap.parse_args()
 
     from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
@@ -752,7 +898,15 @@ def main() -> None:
     service.warmup(num_frames=args.bucket, batch_sizes=(1,))
     if decoder is not None:
         decoder.warmup()
-    server = make_http_server(service, args.host, args.port, decoder=decoder)
+    watchdog = None
+    if args.host_rss_restart_gb > 0:
+        watchdog = HostMemoryWatchdog(args.host_rss_restart_gb)
+    server = make_http_server(service, args.host, args.port, decoder=decoder,
+                              watchdog=watchdog)
+    if watchdog is not None:
+        # Once drained, stop the accept loop; the exec-restart below then
+        # replaces this leaked process on the main thread.
+        watchdog.restart_fn = server.shutdown
     endpoints = ("POST /synthesize, POST /reload"
                  + (", POST /decode" if decoder else ""))
     print(f"serving speech->EMG on http://{args.host}:{args.port} "
@@ -763,6 +917,16 @@ def main() -> None:
         pass
     finally:
         service.close()
+    if watchdog is not None and watchdog.restart_fired.is_set():
+        import os
+        import sys
+
+        argv = [sys.executable, "-m", "ste_gan_tpu.serve",
+                *_restart_argv(sys.argv[1:], service._source)]
+        server.server_close()  # free the port for the next incarnation
+        logging.warning("serve: exec-restart at RSS %.1f GiB: %s",
+                        watchdog.last_rss_gb, " ".join(argv))
+        os.execv(sys.executable, argv)
 
 
 if __name__ == "__main__":

@@ -69,8 +69,13 @@ class GANTrainState(struct.PyTreeNode):
 
 def eval_generator_params(state: GANTrainState):
     """The generator parameters downstream consumers should evaluate:
-    the EMA weights when EMA training is on, the live weights otherwise."""
-    return state.gen_params if state.gen_ema is None else state.gen_ema
+    the EMA weights when EMA training is on, the live weights otherwise.
+
+    ``getattr`` (not attribute access) so pre-EMA duck-typed states —
+    restored legacy pytrees, test fakes carrying only ``gen_params`` —
+    keep working everywhere this is called (serving reload, eval, export)."""
+    ema = getattr(state, "gen_ema", None)
+    return state.gen_params if ema is None else ema
 
 
 class _OptaxAdapter:

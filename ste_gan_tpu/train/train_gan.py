@@ -74,23 +74,11 @@ class HostMemoryRestart(RuntimeError):
         self.rss_gb = rss_gb
 
 
-def host_rss_gb() -> float:
-    """Resident set size of this process in GiB (0.0 where unsupported).
-
-    Exists because some PJRT transports leak host memory per H2D transfer
-    (the remote-TPU tunnel client here retains every transferred batch
-    buffer for the life of the process — measured ~4 MB leaked per 4 MB
-    device_put, unreclaimable by ``jax.clear_caches``), so long-horizon
-    trainers must bound their own lifetime. See
-    ``TrainConfig.host_rss_restart_gb``."""
-    try:
-        with open("/proc/self/status") as fh:
-            for line in fh:
-                if line.startswith("VmRSS:"):
-                    return int(line.split()[1]) / (1024 ** 2)
-    except OSError:
-        pass
-    return 0.0
+# Re-exported for callers/tests that import it from here; the shared
+# definition (and the rationale for why long-lived processes must bound
+# their own RSS) lives in utils/hostmem.py. See
+# ``TrainConfig.host_rss_restart_gb``.
+from ste_gan_tpu.utils.hostmem import host_rss_gb  # noqa: E402
 
 
 def load_frozen_encoder(cfg: Config, models: GANModels,

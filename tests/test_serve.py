@@ -3,6 +3,7 @@ round-trip, stats, error propagation. Runs on the CPU mesh with a small
 generator."""
 import io
 import threading
+import urllib.error
 import urllib.request
 
 import jax
@@ -555,3 +556,109 @@ class TestMeshServing:
             lambda run_dir, tag: (None, None, SimpleNamespace(
                 gen_params=small_synth.params)))
         mesh_service.reload()
+
+
+class TestHostMemoryWatchdog:
+    """Serving-side host-RSS watchdog: past the limit the server drains
+    (503 on new work, /healthz not-ready) and fires the restart hook once
+    in-flight requests finish. RSS and restart are injected so the test
+    drives the full trip without 48 GiB of leaked buffers."""
+
+    def test_restart_argv_rewrites_model_source(self):
+        from ste_gan_tpu.serve import _restart_argv
+
+        argv = ["--run_dir", "exp/old", "--tag", "best", "--port", "8571",
+                "--max_batch=4"]
+        out = _restart_argv(argv, {"mode": "run_dir",
+                                   "run_dir": "exp/new", "tag": "latest"})
+        assert out == ["--port", "8571", "--max_batch=4",
+                       "--run_dir", "exp/new", "--tag", "latest"]
+        # run_dir-mode process hot-reloaded onto an artifact restarts in
+        # artifact mode; --run_dir=... form is dropped too.
+        out = _restart_argv(["--run_dir=exp/old", "--port", "1"],
+                            {"mode": "artifact", "artifact": "g.jaxexport"})
+        assert out == ["--port", "1", "--artifact", "g.jaxexport"]
+
+    def _post(self, port, feats):
+        buf = io.BytesIO()
+        np.savez(buf, feats=feats, session=np.asarray(0),
+                 mode=np.asarray(0))
+        return urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize", data=buf.getvalue(),
+            method="POST")
+
+    def test_trip_drains_and_fires_restart(self, small_synth, rng):
+        from ste_gan_tpu.serve import HostMemoryWatchdog
+
+        restart_calls = []
+        watchdog = HostMemoryWatchdog(
+            limit_gb=1.0, rss_fn=lambda: 999.0,
+            restart_fn=lambda: restart_calls.append(True))
+        service = SynthesisService(small_synth, {"s0": 0}, max_wait_ms=1.0,
+                                   bucket=16)
+        server = make_http_server(service, host="127.0.0.1", port=0,
+                                  watchdog=watchdog)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            feats = rng.normal(size=(9, 256)).astype(np.float32)
+            # First request is served (the check runs on completion) and
+            # trips the watchdog.
+            with urllib.request.urlopen(self._post(port, feats),
+                                        timeout=60) as resp:
+                assert resp.status == 200
+            assert watchdog.draining.wait(5.0)
+            # New work is rejected with 503 + Retry-After while draining.
+            try:
+                urllib.request.urlopen(self._post(port, feats), timeout=10)
+                assert False, "expected 503 during drain"
+            except urllib.error.HTTPError as err:
+                assert err.code == 503
+                assert err.headers["Retry-After"]
+            # /healthz flips not-ready so load balancers deroute first.
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=10)
+                assert False, "expected 503 healthz during drain"
+            except urllib.error.HTTPError as err:
+                assert err.code == 503
+            # Idle (no in-flight requests) -> the restart hook fires.
+            assert watchdog.restart_fired.wait(5.0)
+            assert restart_calls == [True]
+        finally:
+            server.shutdown()
+            service.close()
+
+    def test_under_limit_serves_and_reports(self, small_synth, rng):
+        import json as _json
+
+        from ste_gan_tpu.serve import HostMemoryWatchdog
+
+        watchdog = HostMemoryWatchdog(limit_gb=48.0, rss_fn=lambda: 0.5,
+                                      restart_fn=lambda: None)
+        service = SynthesisService(small_synth, {"s0": 0}, max_wait_ms=1.0,
+                                   bucket=16)
+        server = make_http_server(service, host="127.0.0.1", port=0,
+                                  watchdog=watchdog)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            feats = rng.normal(size=(9, 256)).astype(np.float32)
+            for _ in range(3):
+                with urllib.request.urlopen(self._post(port, feats),
+                                            timeout=60) as resp:
+                    assert resp.status == 200
+            assert not watchdog.draining.is_set()
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/stats", timeout=10) as resp:
+                stats = _json.loads(resp.read())
+            mem = stats["host_memory"]
+            assert mem["host_rss_limit_gb"] == 48.0
+            assert mem["draining"] is False and mem["inflight"] == 0
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=10) as resp:
+                body = _json.loads(resp.read())
+            assert body == {"ok": True, "draining": False}
+        finally:
+            server.shutdown()
+            service.close()
