@@ -56,7 +56,12 @@ class ResBlock(nn.Module):
 
 class EMGEncoderTransformer(nn.Module):
     """EMG [B, T, C] -> (speech units [B, T/16, 256], phoneme logits
-    [B, T/16, 48])."""
+    [B, T/16, 48]).
+
+    Setup-based (not compact) with reference-matching explicit submodule
+    names, so ``__call__`` and :meth:`pipelined` share one parameter layout
+    and checkpoint format — the pipelined path is purely an execution-
+    schedule choice."""
 
     num_ins: int = C.NUM_EMG_CHANNELS
     num_outs: int = C.SPEECH_UNITS_FEAT_SIZE
@@ -78,8 +83,29 @@ class EMGEncoderTransformer(nn.Module):
     moe_capacity_factor: float = 1.5
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x_raw, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def setup(self):
+        self.res_blocks = [
+            ResBlock(self.model_size, stride=2, dtype=self.dtype,
+                     name=f"res_block_{i}")
+            for i in range(1 + self.num_extra_res_blocks)]
+        self.w_raw_in = Dense(self.model_size, dtype=self.dtype,
+                              name="w_raw_in")
+        self.transformer_layers = [
+            TransformerEncoderLayer(
+                d_model=self.model_size, num_heads=self.num_heads,
+                dim_feedforward=self.dim_feedforward,
+                dropout=self.dropout, relative_positional=True,
+                relative_positional_distance=self.relative_positional_distance,
+                moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
+                dtype=self.dtype, name=f"transformer_{i}")
+            for i in range(self.num_transformer_layers)]
+        self.w_out = Dense(self.num_outs, dtype=self.dtype, name="w_out")
+        self.w_aux = Dense(self.num_aux_outs, dtype=self.dtype, name="w_aux")
+
+    def _frontend(self, x_raw, train: bool) -> jnp.ndarray:
+        """Shift augmentation + strided ResBlocks + input projection —
+        shared by the sequential and pipelined forward."""
         x = x_raw.astype(self.dtype)
         if train:
             # Random left-shift augmentation r in [0, 8) with zero fill
@@ -89,25 +115,87 @@ class EMGEncoderTransformer(nn.Module):
             x = jnp.roll(x, -r, axis=1)
             keep = jnp.arange(t)[None, :, None] < (t - r)
             x = jnp.where(keep, x, 0.0).astype(self.dtype)
+        for block in self.res_blocks:
+            x = block(x, train=train)
+        return self.w_raw_in(x)
 
-        for i in range(1 + self.num_extra_res_blocks):
-            x = ResBlock(self.model_size, stride=2, dtype=self.dtype,
-                         name=f"res_block_{i}")(x, train=train)
+    def _heads(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return (self.w_out(x).astype(jnp.float32),
+                self.w_aux(x).astype(jnp.float32))
 
-        x = Dense(self.model_size, dtype=self.dtype, name="w_raw_in")(x)
-        for i in range(self.num_transformer_layers):
-            x = TransformerEncoderLayer(
-                d_model=self.model_size, num_heads=self.num_heads,
-                dim_feedforward=self.dim_feedforward,
-                dropout=self.dropout, relative_positional=True,
-                relative_positional_distance=self.relative_positional_distance,
-                moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
-                moe_capacity_factor=self.moe_capacity_factor,
-                dtype=self.dtype, name=f"transformer_{i}")(x, train=train)
+    def __call__(self, x_raw, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x = self._frontend(x_raw, train)
+        for layer in self.transformer_layers:
+            x = layer(x, train=train)
+        return self._heads(x)
 
-        units = Dense(self.num_outs, dtype=self.dtype, name="w_out")(x)
-        phonemes = Dense(self.num_aux_outs, dtype=self.dtype, name="w_aux")(x)
-        return units.astype(jnp.float32), phonemes.astype(jnp.float32)
+    def pipelined(self, x_raw, mesh, num_microbatches: int,
+                  train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Forward with the transformer stack executed as a GPipe pipeline
+        over ``mesh``'s 'stage' axis (parallel/pipeline_parallel.py).
+
+        The conv frontend and heads run under plain GSPMD (batch sharded
+        over the mesh's 'data' axis, replicated over 'stage'); the layer
+        stack — the dominant compute — is stage-sharded: per-layer params
+        stack on a leading axis, each device applies only its own layer,
+        microbatches ride a ppermute ring. Differentiable end-to-end, so
+        this drives training (train/encoder.py --pipeline_stages).
+
+        Caveats: requires init/eval via ``__call__`` (this method applies
+        existing layer params, it does not create them); with dropout > 0
+        each stage derives its key from the layer index, and the mask is
+        shared across microbatches within a step (the sequential path
+        samples one mask over the whole batch — neither schedule can
+        reproduce the other's stream); MoE layers are not pipelined."""
+        if self.moe_experts > 0:
+            raise NotImplementedError(
+                "pipelined execution of MoE layers is unsupported — use "
+                "expert parallelism (parallel/expert_parallel.py) instead")
+        from ste_gan_tpu.parallel.pipeline_parallel import (
+            STAGE_AXIS, pipeline_apply)
+
+        num_stages = mesh.shape[STAGE_AXIS]
+        num_layers = self.num_transformer_layers
+        if num_layers % num_stages:
+            raise ValueError(
+                f"num_transformer_layers {num_layers} not divisible by "
+                f"pipeline stages {num_stages}")
+        per_stage = num_layers // num_stages
+
+        x = self._frontend(x_raw, train)
+        # [S, per_stage, ...]-stacked layer params: stage s owns layers
+        # [s*per_stage, (s+1)*per_stage).
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs).reshape(
+                num_stages, per_stage, *xs[0].shape),
+            *[layer.variables["params"] for layer in self.transformer_layers])
+        payload = {"params": stacked}
+        use_dropout = train and self.dropout > 0
+        if use_dropout:
+            payload["rng"] = jax.random.split(
+                self.make_rng("dropout"),
+                num_layers).reshape(num_stages, per_stage)
+        layer_template = TransformerEncoderLayer(
+            d_model=self.model_size, num_heads=self.num_heads,
+            dim_feedforward=self.dim_feedforward,
+            dropout=self.dropout, relative_positional=True,
+            relative_positional_distance=self.relative_positional_distance,
+            dtype=self.dtype)
+
+        def layer_fn(p, x_mb):
+            for j in range(per_stage):
+                params_j = jax.tree.map(lambda a: a[j], p["params"])
+                if use_dropout:
+                    x_mb = layer_template.apply(
+                        {"params": params_j}, x_mb, train=True,
+                        rngs={"dropout": p["rng"][j]})
+                else:
+                    x_mb = layer_template.apply({"params": params_j}, x_mb,
+                                                train=False)
+            return x_mb
+
+        x = pipeline_apply(layer_fn, payload, x, mesh, num_microbatches)
+        return self._heads(x)
 
 
 def init_emg_encoder(cfg, dtype=jnp.float32) -> EMGEncoderTransformer:

@@ -130,10 +130,17 @@ class HostMemoryWatchdog:
         self.last_rss_gb = 0.0
 
     def request_starts(self) -> bool:
-        """Admission check; False means reject with 503 (draining)."""
-        if self.draining.is_set():
-            return False
+        """Admission check; False means reject with 503 (draining).
+
+        The draining check and the in-flight increment are one atomic
+        section: the drain thread reads ``_inflight`` under the same lock
+        and ``draining`` is only ever set under it (``request_ends``), so
+        it can never observe in-flight == 0 while an admission is mid-way
+        — an admitted request is always drained, never killed by the
+        restart."""
         with self._lock:
+            if self.draining.is_set():
+                return False
             self._inflight += 1
         return True
 
@@ -142,12 +149,18 @@ class HostMemoryWatchdog:
             self._inflight -= 1
             self._served += 1
             served = self._served
-        if self.limit_gb <= 0 or self.draining.is_set() or served < 1:
+        if self.limit_gb <= 0 or self.draining.is_set():
             return
         rss = self.rss_fn()
         self.last_rss_gb = rss
         if rss > self.limit_gb:
-            self.draining.set()
+            # Compare-and-set under the lock: two requests completing
+            # concurrently can both see rss > limit, but only one trips
+            # the drain (restart_fn fires exactly once).
+            with self._lock:
+                if self.draining.is_set():
+                    return
+                self.draining.set()
             logging.warning(
                 "serve: host RSS %.1f GiB > %.1f GiB after %d requests — "
                 "draining for restart", rss, self.limit_gb, served)
@@ -180,10 +193,26 @@ def _restart_argv(argv: List[str], source: Dict) -> List[str]:
     """CLI args for the post-restart incarnation: ``argv`` (this process's
     args after the program name) with the model-source flags rewritten to
     the service's *current* source, so weights hot-swapped via ``/reload``
-    survive the exec-restart."""
+    survive the exec-restart.
+
+    When ``/reload`` switched the source mode (run_dir -> artifact), flags
+    that only make sense in checkpoint mode must not leak into the
+    restarted incarnation or it dies on ``main``'s guards instead of
+    recycling: ``--data_parallel`` is dropped (artifact = fixed
+    single-device program), and ``--run_dir`` is *kept* when
+    ``--decoder_ckpt`` is present (the decoder still reads the run's
+    config.yaml for the encoder architecture; ``main`` serves synthesis
+    from ``--artifact`` regardless)."""
+    artifact_mode = source.get("mode") == "artifact"
+    has_flag = lambda flag: any(
+        a == flag or a.startswith(f"{flag}=") for a in argv)
+    drop = ["--tag", "--artifact"]
+    if not (artifact_mode and has_flag("--decoder_ckpt")):
+        drop.append("--run_dir")
+    if artifact_mode:
+        drop.append("--data_parallel")
     out: List[str] = []
     skip = False
-    drop = ("--run_dir", "--tag", "--artifact")
     for arg in argv:
         if skip:
             skip = False
@@ -194,7 +223,7 @@ def _restart_argv(argv: List[str], source: Dict) -> List[str]:
         if any(arg.startswith(f"{flag}=") for flag in drop):
             continue
         out.append(arg)
-    if source.get("mode") == "artifact":
+    if artifact_mode:
         out += ["--artifact", str(source["artifact"])]
     else:
         out += ["--run_dir", str(source["run_dir"])]

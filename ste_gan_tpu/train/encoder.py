@@ -41,9 +41,11 @@ from ste_gan_tpu.data.dataset import EMGDataset
 from ste_gan_tpu.losses.encoder_loss import PAIRWISE_EPS
 from ste_gan_tpu.models.emg_encoder import init_emg_encoder
 from ste_gan_tpu.ops.dtw import dtw_alignment
+from jax.sharding import NamedSharding, PartitionSpec as P
+
 from ste_gan_tpu.parallel.mesh import (
-    constrain_batch, create_mesh, largest_divisor_mesh_size, replicate,
-    shard_batch)
+    DATA_AXIS, constrain_batch, create_mesh, largest_divisor_mesh_size,
+    place_batch_leaves, replicate, replicate_sharding, shard_batch)
 from ste_gan_tpu.parallel.tensor_parallel import (
     create_mesh_2d, shard_batch_2d, shard_state)
 from ste_gan_tpu.train.checkpoint import save_pytree
@@ -243,7 +245,9 @@ def make_optimizer() -> optax.GradientTransformation:
 
 def make_encoder_train_step(model, max_samples: int,
                             silent_pred_frames: int = 0,
-                            moe_aux_weight: float = 0.01) -> Callable:
+                            moe_aux_weight: float = 0.01,
+                            pipeline: Optional[Tuple[Any, int]] = None
+                            ) -> Callable:
     """``silent_pred_frames > 0`` enables the mixed-batch silent path: the
     batch must carry the silent DTW-target fields from
     :func:`fold_encoder_batch`. The combined loss preserves the reference's
@@ -253,7 +257,13 @@ def make_encoder_train_step(model, max_samples: int,
     When the encoder uses mixture-of-experts FFNs (``moe_experts > 0``),
     each MoE block sows a Switch-style load-balancing loss into the
     ``"losses"`` collection; their sum is added with ``moe_aux_weight``.
-    Dense encoders sow nothing, so the default path is unchanged."""
+    Dense encoders sow nothing, so the default path is unchanged.
+
+    ``pipeline = (mesh, num_microbatches)`` executes the transformer stack
+    as a GPipe pipeline over the mesh's 'stage' axis
+    (EMGEncoderTransformer.pipelined; parallel/pipeline_parallel.py) — the
+    forward/backward math is the sequential stack's, scheduled across
+    stage devices."""
     optimizer = make_optimizer()
 
     def train_step(state: EncoderTrainState, batch, rng):
@@ -270,11 +280,21 @@ def make_encoder_train_step(model, max_samples: int,
         rng_shift, rng_drop = jax.random.split(rng)
 
         def loss_fn(params):
-            (su_pred, ph_pred), mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["emg_windows"], train=True,
-                rngs={"shift": rng_shift, "dropout": rng_drop},
-                mutable=["batch_stats", "losses"])
+            if pipeline is not None:
+                p_mesh, p_microbatches = pipeline
+                (su_pred, ph_pred), mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch["emg_windows"], p_mesh, p_microbatches,
+                    train=True,
+                    rngs={"shift": rng_shift, "dropout": rng_drop},
+                    mutable=["batch_stats", "losses"],
+                    method="pipelined")
+            else:
+                (su_pred, ph_pred), mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch["emg_windows"], train=True,
+                    rngs={"shift": rng_shift, "dropout": rng_drop},
+                    mutable=["batch_stats", "losses"])
             n, f, d = su_pred.shape
             su_flat = su_pred.reshape(n * f, d)
             ph_flat = ph_pred.reshape(n * f, -1)
@@ -412,6 +432,8 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
                         transfer_dtype: str = "float16",
                         data_parallel: int = 1,
                         model_parallel: int = 1,
+                        pipeline_stages: int = 1,
+                        pipeline_microbatches: int = 0,
                         ) -> EncoderTrainState:
     """``device_resident_data`` keeps the train split in device memory and
     folds batches on-device from {rows, num_samples} descriptors
@@ -427,7 +449,17 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
     (parallel/tensor_parallel.py). data_parallel <= 0 means "all devices
     (/ model_parallel)". The library default stays 1 (single-device) so
     reference-parity harnesses keep bit-stable reduction order; the CLI
-    defaults to all devices."""
+    defaults to all devices.
+
+    ``pipeline_stages > 1`` instead builds a 2-D (data, stage) mesh and
+    executes the transformer stack as a GPipe pipeline over 'stage'
+    (EMGEncoderTransformer.pipelined): per-layer params stack and shard by
+    stage, microbatches ride a ppermute ring; the conv frontend/heads/loss
+    run data-parallel over 'data'. Requires num_transformer_layers %
+    pipeline_stages == 0 and is mutually exclusive with model_parallel.
+    ``pipeline_microbatches`` (0 = the fold's window count) must divide
+    the window count; utilisation is M/(M+S-1), so more microbatches =
+    smaller bubble."""
     output_directory = Path(output_directory)
     writer = MetricLogger(output_directory)
     model = init_emg_encoder(cfg)
@@ -485,10 +517,35 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
     # identical to single-device — BatchNorm statistics stay global-batch
     # exact). The fold's window axis is the data-sharding unit.
     mp = max(1, int(model_parallel))
+    stages = max(1, int(pipeline_stages))
+    if stages > 1 and mp > 1:
+        raise ValueError("pipeline_stages and model_parallel are mutually "
+                         "exclusive parallelism axes for the encoder "
+                         "trainer (compose either with data_parallel)")
     requested = (data_parallel if data_parallel > 0
-                 else len(jax.devices()) // mp)
+                 else len(jax.devices()) // (mp * stages))
     data_size = largest_divisor_mesh_size(n_win, max(1, requested))
-    if mp > 1:
+    pipeline = None
+    if stages > 1:
+        # (data, stage) mesh: the GPipe ring runs over 'stage'; the folded
+        # batch (and the frontend/loss) shard over 'data'. Microbatches
+        # split the fold's window axis — default to one window per
+        # microbatch (maximum M = smallest bubble: M/(M+S-1) utilisation).
+        from ste_gan_tpu.parallel.pipeline_parallel import (
+            create_stage_mesh_2d)
+        mesh = create_stage_mesh_2d(data_size, stages)
+        microbatches = (pipeline_microbatches if pipeline_microbatches > 0
+                        else n_win)
+        if n_win % microbatches:
+            raise ValueError(
+                f"pipeline_microbatches {microbatches} does not divide "
+                f"the fold's window count {n_win}")
+        pipeline = (mesh, microbatches)
+        place_tree = lambda t: replicate(mesh, t)
+        place_batch = lambda b: place_batch_leaves(
+            b, NamedSharding(mesh, P(DATA_AXIS)), replicate_sharding(mesh),
+            data_size)
+    elif mp > 1:
         mesh = create_mesh_2d(data_size, mp)
         place_tree = lambda t: shard_state(mesh, t)
         place_batch = lambda b: shard_batch_2d(mesh, b)
@@ -507,7 +564,8 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
 
     np_float = np.float16 if transfer_dtype == "float16" else np.float32
     base_step = make_encoder_train_step(model, max_samples,
-                                        silent_pred_frames=silent_pred_frames)
+                                        silent_pred_frames=silent_pred_frames,
+                                        pipeline=pipeline)
     device_corpus = None
     if device_resident_data:
         device_corpus = EncoderDeviceCorpus(
@@ -757,7 +815,9 @@ def main(args: argparse.Namespace) -> None:
                         device_resident_data=args.device_resident_data,
                         transfer_dtype=args.transfer_dtype,
                         data_parallel=args.data_parallel,
-                        model_parallel=args.model_parallel)
+                        model_parallel=args.model_parallel,
+                        pipeline_stages=args.pipeline_stages,
+                        pipeline_microbatches=args.pipeline_microbatches)
     done_file.write_text("Done training.\n")
 
 
@@ -801,6 +861,18 @@ def parse_args() -> argparse.Namespace:
                              "parameters + AdamW moments into output-channel "
                              "slabs over a 2-D (data, model) mesh "
                              "(parallel/tensor_parallel.py).")
+    parser.add_argument("--pipeline_stages", type=int, default=1,
+                        help="GPipe pipeline depth: >1 executes the "
+                             "transformer stack over a (data, stage) mesh "
+                             "— stage s owns layers [s*L/S, (s+1)*L/S), "
+                             "microbatches ride a ppermute ring "
+                             "(parallel/pipeline_parallel.py). Requires "
+                             "num_transformer_layers %% stages == 0; "
+                             "mutually exclusive with --model_parallel.")
+    parser.add_argument("--pipeline_microbatches", type=int, default=0,
+                        help="Microbatches per pipelined step (0 = one per "
+                             "fold window, the smallest bubble); must "
+                             "divide the fold's window count.")
     parser.add_argument("--save_interval_epochs", type=int, default=1,
                         help="Flush best/last checkpoints to disk every N "
                              "epochs (best params are snapshotted on device "

@@ -579,6 +579,62 @@ class TestHostMemoryWatchdog:
                             {"mode": "artifact", "artifact": "g.jaxexport"})
         assert out == ["--port", "1", "--artifact", "g.jaxexport"]
 
+    def test_restart_argv_mode_switch_drops_incompatible_flags(self):
+        """run_dir -> artifact /reload followed by a watchdog restart: the
+        restarted incarnation must not die on main()'s checkpoint-mode
+        guards — --data_parallel is dropped (artifact = fixed
+        single-device program) and --run_dir is KEPT when --decoder_ckpt
+        still needs it for the encoder architecture config."""
+        from ste_gan_tpu.serve import _restart_argv
+
+        argv = ["--run_dir", "exp/old", "--data_parallel", "2",
+                "--decoder_ckpt", "enc/best", "--port", "1"]
+        out = _restart_argv(argv, {"mode": "artifact",
+                                   "artifact": "g.jaxexport"})
+        assert out == ["--run_dir", "exp/old", "--decoder_ckpt",
+                       "enc/best", "--port", "1",
+                       "--artifact", "g.jaxexport"]
+        # Without a decoder checkpoint, --run_dir goes too (pure artifact
+        # serving needs neither), and --data_parallel=N form is dropped.
+        out = _restart_argv(["--run_dir", "exp/old", "--data_parallel=2",
+                             "--port", "1"],
+                            {"mode": "artifact", "artifact": "g.jaxexport"})
+        assert out == ["--port", "1", "--artifact", "g.jaxexport"]
+        # Checkpoint-mode restarts keep --data_parallel (it is valid
+        # there) and rewrite the source as before.
+        out = _restart_argv(["--run_dir", "exp/old", "--data_parallel", "2"],
+                            {"mode": "run_dir", "run_dir": "exp/new"})
+        assert out == ["--data_parallel", "2", "--run_dir", "exp/new"]
+
+    def test_trip_decision_is_atomic_and_admission_respects_drain(self):
+        """Concurrent completions that both observe rss > limit trip the
+        drain exactly once (compare-and-set under the lock), and an
+        admission after the trip is rejected — no request can slip in
+        between the drain check and the restart."""
+        import threading as _threading
+
+        from ste_gan_tpu.serve import HostMemoryWatchdog
+
+        restarts = []
+        watchdog = HostMemoryWatchdog(limit_gb=1.0, rss_fn=lambda: 999.0,
+                                      restart_fn=lambda: restarts.append(1))
+        assert watchdog.request_starts()
+        assert watchdog.request_starts()
+        barrier = _threading.Barrier(2)
+
+        def finish():
+            barrier.wait()
+            watchdog.request_ends()
+
+        threads = [_threading.Thread(target=finish) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert watchdog.restart_fired.wait(5.0)
+        assert restarts == [1]
+        assert watchdog.request_starts() is False  # draining rejects
+
     def _post(self, port, feats):
         buf = io.BytesIO()
         np.savez(buf, feats=feats, session=np.asarray(0),
