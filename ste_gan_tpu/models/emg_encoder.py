@@ -129,6 +129,19 @@ class EMGEncoderTransformer(nn.Module):
             x = layer(x, train=train)
         return self._heads(x)
 
+    def embed(self, x_raw) -> jnp.ndarray:
+        """Pre-head transformer-stack activations [B, T/16, model_size].
+
+        The embedding space of the Fréchet realism metric (realism.py).
+        No training objective ever touches this representation directly —
+        the SU/phoneme losses see only the ``w_out``/``w_aux`` projections
+        — which is what makes distribution distances over it a fair
+        not-directly-optimized realism measure."""
+        x = self._frontend(x_raw, train=False)
+        for layer in self.transformer_layers:
+            x = layer(x, train=False)
+        return x.astype(jnp.float32)
+
     def pipelined(self, x_raw, mesh, num_microbatches: int,
                   train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Forward with the transformer stack executed as a GPipe pipeline
@@ -172,15 +185,19 @@ class EMGEncoderTransformer(nn.Module):
         payload = {"params": stacked}
         use_dropout = train and self.dropout > 0
         if use_dropout:
-            payload["rng"] = jax.random.split(
-                self.make_rng("dropout"),
-                num_layers).reshape(num_stages, per_stage)
+            keys = jax.random.split(self.make_rng("dropout"), num_layers)
+            # [S, per_stage, *key_dims] — works for typed keys (no trailing
+            # dims) and legacy uint32[2] keys alike.
+            payload["rng"] = keys.reshape(num_stages, per_stage,
+                                          *keys.shape[1:])
+        # parent=None: a detached template module (NOT a submodule of this
+        # encoder — its params are the stage slices fed through payload).
         layer_template = TransformerEncoderLayer(
             d_model=self.model_size, num_heads=self.num_heads,
             dim_feedforward=self.dim_feedforward,
             dropout=self.dropout, relative_positional=True,
             relative_positional_distance=self.relative_positional_distance,
-            dtype=self.dtype)
+            dtype=self.dtype, parent=None)
 
         def layer_fn(p, x_mb):
             for j in range(per_stage):

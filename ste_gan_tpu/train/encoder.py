@@ -534,12 +534,15 @@ def train_encoder_model(cfg: Config, trainset: EMGDataset, devset: EMGDataset,
         from ste_gan_tpu.parallel.pipeline_parallel import (
             create_stage_mesh_2d)
         mesh = create_stage_mesh_2d(data_size, stages)
+        # Default: the most microbatches the data axis allows (microbatch
+        # rows shard over 'data', so each must hold >= data_size windows).
         microbatches = (pipeline_microbatches if pipeline_microbatches > 0
-                        else n_win)
-        if n_win % microbatches:
+                        else max(1, n_win // data_size))
+        if n_win % microbatches or (n_win // microbatches) % data_size:
             raise ValueError(
-                f"pipeline_microbatches {microbatches} does not divide "
-                f"the fold's window count {n_win}")
+                f"pipeline_microbatches {microbatches} must divide the "
+                f"fold's window count {n_win} into microbatches divisible "
+                f"by the data axis ({data_size})")
         pipeline = (mesh, microbatches)
         place_tree = lambda t: replicate(mesh, t)
         place_batch = lambda b: place_batch_leaves(

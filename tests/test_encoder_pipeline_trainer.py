@@ -71,8 +71,10 @@ class TestPipelineTrainerE2E:
              resident=True):
         train_ds, dev_ds = _datasets(corpus)
         run_dir = tmp_path / tag
+        # max_len 6400 -> a 4-window fold: divisible by the data axis (2)
+        # and by the reduced microbatch count (2) of the composed run.
         train_encoder_model(_cfg(corpus), train_ds, dev_ds, run_dir,
-                            debug=False, max_len=8000, num_epochs=2,
+                            debug=False, max_len=6400, num_epochs=2,
                             warmup_steps=10, transfer_dtype="float32",
                             device_resident_data=resident,
                             data_parallel=dp, pipeline_stages=stages,
