@@ -56,6 +56,9 @@ def summarise(series) -> dict:
         "val_phoneme": stats("val/phoneme"),
         "val_phoneme_accuracy_avg": stats("val/phoneme_accuracy_avg"),
         "val_waveform": stats("val/waveform"),
+        # Phase-invariant waveform tracking (train/gan.py::make_eval_step;
+        # absent in runs recorded before round 4).
+        "val_envelope_l1": stats("val/envelope_l1"),
         "train_loss_generator": stats("train_loss/generator"),
         "train_loss_discriminator": stats("train_loss/discriminator"),
         "val_speech_unit_series": [[s, round(v, 5)] for s, v in su],
@@ -96,6 +99,30 @@ def write_report(out_dir: Path, summary: dict, title: str) -> None:
         f"max {g['max']:.3f} (bounded, no divergence)",
         f"* D loss: first {d['first']:.3f}, last {d['last']:.3f}, "
         f"max {d['max']:.3f}",
+    ]
+    wave = summary["val_waveform"]
+    env = summary.get("val_envelope_l1")
+    if env:
+        lines += [
+            f"* val envelope L1 (phase-invariant): first {env['first']:.4f}"
+            f" -> last {env['last']:.4f}",
+        ]
+    lines += [
+        "",
+        "**On `val/waveform`** (first "
+        f"{wave['first']:.3f} -> last {wave['last']:.3f}, "
+        f"max {wave['max']:.3f}): raw waveform MSE is PHASE-SENSITIVE and",
+        "is expected to drift upward here. The waveform loss is off by",
+        "default (reference configs/ste_gan_base_gantts.yaml `wv_0.0`;",
+        "ste_gan/train.py:251-254), so nothing constrains the generated",
+        "carrier's phase — two equal-amplitude signals whose carriers",
+        "drift apart in phase have rising MSE with zero loss of signal",
+        "quality, and the optimized objectives (TD features, SU, phoneme)",
+        "all measure amplitude/content, not phase. The phase-invariant",
+        "`val/envelope_l1` (40-pt rectified-average envelopes, the",
+        "plotting definition) is the honest waveform-tracking metric and",
+        "must IMPROVE over training (asserted in",
+        "tests/test_stability_report.py for every run that logs it).",
         "",
         "Full series: `metrics.jsonl`; machine-checked invariants:",
         "`summary.json` + `tests/test_stability_report.py`.",

@@ -111,7 +111,8 @@ def evaluate_gan_chunked(cfg, models, gen_params, encoder_variables,
                         hopsize=C.HOPSIZE)
     eval_step = jax.jit(make_eval_step(cfg, models))
     errors: Dict[str, list] = {k: [] for k in (
-        "val/waveform", "val/multi_td", "val/speech_unit", "val/phoneme")}
+        "val/waveform", "val/envelope_l1", "val/multi_td",
+            "val/speech_unit", "val/phoneme")}
     counters = {k: 0 for k in (
         "num_phones", "num_correct", "num_silence", "num_correct_no_silence")}
     num_batches = 0
@@ -191,7 +192,7 @@ def evaluate_gan_full(cfg, models, gen_params, encoder_variables, dataset,
 
 def evaluate_gan(run_dir: Path, emg_enc_ckpt: Path, partition: str = "valid",
                  tag: str = "best", full: bool = False,
-                 bucket_frames: int = 64) -> Dict:
+                 realism: bool = False, bucket_frames: int = 64) -> Dict:
     """Load a trained GAN run and evaluate it on one partition."""
     from ste_gan_tpu.data.dataset import EMGDataset
     from ste_gan_tpu.train.checkpoint import load_pytree
@@ -224,6 +225,13 @@ def evaluate_gan(run_dir: Path, emg_enc_ckpt: Path, partition: str = "valid",
     }
     if full:
         report["full_utterance"] = evaluate_gan_full(
+            cfg, models, gen_params, encoder_variables,
+            make_dataset(filter_by_length=False), bucket_frames)
+    if realism:
+        # Distribution-level metrics over quantities no training loss
+        # optimises directly (realism.py; VERDICT r3 #1).
+        from ste_gan_tpu.realism import realism_report
+        report["realism"] = realism_report(
             cfg, models, gen_params, encoder_variables,
             make_dataset(filter_by_length=False), bucket_frames)
     return report
@@ -323,6 +331,12 @@ def main(argv=None) -> Dict:
     g.add_argument("--full", action="store_true",
                    help="also run the full-utterance synthesis->decode "
                         "round trip (per-utterance metrics + confusion)")
+    g.add_argument("--realism", action="store_true",
+                   help="also compute distribution-level realism metrics "
+                        "(Fréchet encoder distance, pooled TD-feature "
+                        "Wasserstein, log-spectral distance) between real "
+                        "and generated EMG — quantities no training loss "
+                        "optimises directly (realism.py)")
     g.add_argument("--bucket_frames", type=int, default=64)
     g.add_argument("--out", type=Path, default=None,
                    help="write the JSON report here "
@@ -347,7 +361,7 @@ def main(argv=None) -> Dict:
     if args.command == "gan":
         report = evaluate_gan(args.run_dir, args.emg_enc_ckpt,
                               partition=args.partition, tag=args.tag,
-                              full=args.full,
+                              full=args.full, realism=args.realism,
                               bucket_frames=args.bucket_frames)
         out = args.out or (args.run_dir / f"eval_{args.partition}.json")
     else:

@@ -486,10 +486,21 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
 def make_eval_step(cfg: Config, models: GANModels) -> Callable:
     """Validation metrics for one batch (reference: ste_gan/train.py:311-341):
     waveform MSE, multi-TD error, speech-unit / phoneme losses, and phoneme
-    counters — all device arrays, jit-able, no parameter updates."""
+    counters — all device arrays, jit-able, no parameter updates.
+
+    ``val/envelope_l1`` extends the reference set with a PHASE-INVARIANT
+    waveform metric: mean L1 between 40-point rectified-average envelopes
+    (the plotting definition, utils/plotting.py::get_envelope). Raw
+    ``val/waveform`` MSE is phase-sensitive — the waveform loss defaults
+    off, so the GAN is free to drift carrier phase while amplitude
+    tracking improves, and the MSE of two equal-amplitude sinusoids with
+    drifting phase RISES with no loss of signal quality. The envelope L1
+    is what should (and does — benchmarks/stability_r*/) improve."""
     feature_key = cfg.model.speech_feature_type
 
     def eval_step(gen_params, batch, encoder_variables) -> Dict[str, jnp.ndarray]:
+        from ste_gan_tpu.ops.conv import moving_average
+
         real = batch[C.DataType.REAL_EMG].astype(jnp.float32)
         fake = models.generator.apply(
             {"params": gen_params}, batch[feature_key],
@@ -497,8 +508,10 @@ def make_eval_step(cfg: Config, models: GANModels) -> Callable:
         su_loss, ph_loss, counts = emg_encoder_loss(
             lambda emg: models.encoder_apply(encoder_variables, emg), fake,
             batch[C.DataType.SPEECH_UNITS], batch[C.DataType.PHONEMES])
+        env = lambda x: moving_average(jnp.abs(x), 40)
         out = {
             "val/waveform": jnp.mean(jnp.square(fake - real)),
+            "val/envelope_l1": jnp.mean(jnp.abs(env(fake) - env(real))),
             "val/multi_td": multi_time_domain_loss(real, fake),
             "val/speech_unit": su_loss,
             "val/phoneme": ph_loss,

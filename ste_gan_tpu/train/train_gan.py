@@ -249,7 +249,8 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
 
     def run_validation(gen_params) -> Dict[str, float]:
         errors: Dict[str, list] = {k: [] for k in (
-            "val/waveform", "val/multi_td", "val/speech_unit", "val/phoneme")}
+            "val/waveform", "val/envelope_l1", "val/multi_td",
+            "val/speech_unit", "val/phoneme")}
         counters = {k: 0 for k in (
             "num_phones", "num_correct", "num_silence", "num_correct_no_silence")}
         for batch in valid_loader:

@@ -101,6 +101,22 @@ def test_val_phoneme_accuracy_rises(summary):
     assert acc["best"] > 1.5 * acc["first"]
 
 
+def test_envelope_l1_improves_and_waveform_rise_is_explained(summary):
+    """`val/waveform` (phase-sensitive MSE) may rise — the waveform loss
+    is off and carrier phase is unconstrained — but the phase-invariant
+    envelope L1 must IMPROVE in every run that logs it (runs recorded
+    from round 4 on), and the committed report must explain the waveform
+    drift rather than presenting it silently (VERDICT r3 #5)."""
+    env = summary.get("val_envelope_l1")
+    if env is not None:
+        assert env["last"] < env["first"], (env["last"], env["first"])
+    # Every committed GAN-budget report carries the explanation paragraph.
+    for run in GAN_RUNS + ["stability_r4"]:
+        report = ART.parent / run / "REPORT.md"
+        if report.exists():
+            assert "**On `val/waveform`**" in report.read_text(), run
+
+
 def test_losses_stay_bounded(summary):
     g = summary["train_loss_generator"]
     d = summary["train_loss_discriminator"]
