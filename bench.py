@@ -40,7 +40,24 @@ def check_floor(value: float, platform: str, key: str) -> None:
           file=sys.stderr)
 
 
+def parse_args(argv):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override train batch size (0 = config default "
+                         "32). --batch 128 is the gated throughput-mode "
+                         "operating point (floor key "
+                         "gan_step_b128_ch_samples_per_sec).")
+    ap.add_argument("--assert_floor", action="store_true",
+                    help="exit non-zero when below the committed floor "
+                         "(benchmarks/perf_floor.json); skipped off-TPU")
+    return ap.parse_args(argv)
+
+
 def main() -> None:
+    args = parse_args(sys.argv[1:])
+
     import jax
     import jax.numpy as jnp
 
@@ -69,6 +86,8 @@ def main() -> None:
         # Throughput-scaling sweeps (vs_baseline stays normalised per
         # sample, so bigger batches show the per-chip capacity headroom).
         cfg.train.batch_size = int(os.environ["STE_BENCH_BATCH"])
+    if args.batch > 0:
+        cfg.train.batch_size = args.batch
     if os.environ.get("STE_BENCH_GRAD_ACCUM"):
         # K sequential microbatches, one dual update — activation memory
         # ~B/K at the cost of an extra generator forward per microbatch
@@ -200,8 +219,16 @@ def main() -> None:
         "platform": platform,
         "loss_G": round(float(metrics["loss/generator"]), 3),
     }))
-    if "--assert_floor" in sys.argv or os.environ.get("STE_BENCH_ASSERT_FLOOR"):
-        check_floor(value, platform, "gan_step_ch_samples_per_sec")
+    if args.assert_floor or os.environ.get("STE_BENCH_ASSERT_FLOOR"):
+        # The parity point (B=32) and the throughput point (B=128) are
+        # separately gated; other batch sizes check no floor.
+        if cfg.train.batch_size == 32:
+            check_floor(value, platform, "gan_step_ch_samples_per_sec")
+        elif cfg.train.batch_size == 128:
+            check_floor(value, platform, "gan_step_b128_ch_samples_per_sec")
+        else:
+            print(f"floor check skipped (no floor committed for batch "
+                  f"{cfg.train.batch_size})", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -67,13 +67,17 @@ def pretrain_encoder(data_cfg: str, out_root: Path, epochs: int) -> Path:
     (reference workflow step 1; ste_gan/emg_encoder/train.py)."""
     from ste_gan_tpu.train import encoder as enc_train
 
+    out_dir = out_root / "encoder_pretrain"
+    ckpt = out_dir / "best_val_loss_model"
+    if ckpt.exists():
+        print(f"reusing pretrained encoder {ckpt}", flush=True)
+        return ckpt
     cfg = load_config(data=data_cfg)
     root = Path(cfg.data.dataset_root)
     trainset, devset, _ = enc_train.init_voiced_datasets(root)
-    out_dir = out_root / "encoder_pretrain"
     enc_train.train_encoder_model(cfg, trainset, devset, out_dir,
                                   num_epochs=epochs, max_len=64_000)
-    return out_dir / "best_val_loss_model"
+    return ckpt
 
 
 def run_arm(arm: str, steps: int, out_root: Path, data_cfg: str,
@@ -89,8 +93,16 @@ def run_arm(arm: str, steps: int, out_root: Path, data_cfg: str,
     cfg.train.interval_save = steps          # final only
     configure_arm(cfg, arm)
     run_dir = out_root / arm
-    final_val = train_gan.train(cfg, run_dir, resume=False, debug=False,
-                                emg_enc_ckpt=emg_enc_ckpt)
+    if (run_dir / ".done").exists():
+        # Resume a killed study: the arm already trained to completion —
+        # skip to scoring. (The tunnel's per-transfer host-memory leak
+        # slows dispatch as the single study process ages, so long
+        # studies may need more than one invocation.)
+        print(f"arm {arm}: .done exists, skipping training", flush=True)
+        final_val = {}
+    else:
+        final_val = train_gan.train(cfg, run_dir, resume=False, debug=False,
+                                    emg_enc_ckpt=emg_enc_ckpt)
     cfg.save(run_dir / "config.yaml")
 
     # Score the BEST checkpoint (selected by val SU error, like the

@@ -28,6 +28,35 @@ import pytest  # noqa: E402
 assert jax.devices()[0].platform == "cpu"
 assert jax.device_count() == 8, "expected the 8-device virtual CPU mesh"
 
+#: Modules auto-marked ``slow`` (trainer e2e / multiprocess / serving /
+#: CLI-driving suites — the wall-clock bulk of the full run). The fast
+#: tier (``pytest -m "not slow"``) keeps every parity ORACLE — torch
+#: golden tests for ops/models/losses, DTW/ETL/MFCC goldens, config,
+#: data, sharding-equality units — and finishes in minutes; the full
+#: suite is unchanged. Individual tests elsewhere can still opt in with
+#: ``pytestmark = pytest.mark.slow``.
+SLOW_TEST_MODULES = {
+    "test_train_loop", "test_train_loop_tp", "test_train_loop_fsdp",
+    "test_train_parity_e2e", "test_multidevice_trajectory",
+    "test_encoder_training", "test_encoder_parallel",
+    "test_encoder_device_corpus", "test_silent_train",
+    "test_multiprocess", "test_multiprocess_axes", "test_multiprocess_ckpt",
+    "test_launch", "test_serve", "test_evaluate", "test_export",
+    "test_torch_export", "test_decode", "test_etl_scripts",
+    "test_checkpoint", "test_device_corpus", "test_infer", "test_quant",
+    "test_grad_accum", "test_remat", "test_fsdp", "test_moe",
+    "test_mfcc_variant", "test_tp_checkpoint",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    from pathlib import Path
+
+    for item in items:
+        module = Path(str(item.fspath)).stem
+        if module in SLOW_TEST_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():
