@@ -303,6 +303,13 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
                 loss += t.loss_phoneme_weight * ph_loss
                 aux["loss/phoneme"] = ph_loss
             aux.update({f"count/{k}": v for k, v in counts.items()})
+        else:
+            # Zero phoneme counters keep the trainer's in-step epoch
+            # accumulation uniform when the encoder losses are disabled
+            # (e.g. the TD-only ablation arm) — no encoder forward runs.
+            aux.update({f"count/{k}": jnp.zeros((), jnp.int32)
+                        for k in ("num_phones", "num_correct",
+                                  "num_silence", "num_correct_no_silence")})
         if use_wave:
             wave = jnp.mean(jnp.square(fake_in - real))
             loss += t.loss_waveform_weight * wave

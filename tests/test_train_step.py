@@ -104,6 +104,33 @@ class TestTrainStep:
         frames = cfg.train.chunk_size // C.HOPSIZE
         assert int(metrics["count/num_phones"]) == cfg.train.batch_size * frames
 
+    def test_td_only_arm_emits_zero_counters(self):
+        """The TD-only ablation configuration (adversarial, feature-match,
+        SU, and phoneme losses all disabled — benchmarks/
+        adversarial_ablation.py arm 'td_only') must still emit the phoneme
+        counter keys (as zeros) so the trainer's in-step epoch
+        accumulation works unchanged, and must train: no encoder/disc
+        forward runs, only the TD loss drives G."""
+        cfg = tiny_cfg()
+        cfg.train.loss_adversarial = ""
+        cfg.train.loss_feat_match_error = False
+        cfg.train.loss_speech_unit_error = False
+        cfg.train.loss_phoneme_error = False
+        models, enc_vars = tiny_models(cfg, jax.random.PRNGKey(1))
+        state = init_state(cfg, models, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(cfg, models), donate_argnums=0)
+        batch = synthetic_batch(cfg)
+        history = []
+        for _ in range(10):
+            state, metrics = step(state, batch, enc_vars)
+            history.append(float(metrics["loss/generator"]))
+        for key in ("count/num_phones", "count/num_correct",
+                    "count/num_silence", "count/num_correct_no_silence"):
+            assert int(metrics[key]) == 0, key
+        assert "loss/adversarial" not in metrics
+        assert "loss/speech_unit" not in metrics
+        assert history[-1] < history[0], history
+
     def test_spectral_state_updates(self):
         cfg = tiny_cfg()
         models, enc_vars = tiny_models(cfg, jax.random.PRNGKey(1))
