@@ -440,14 +440,20 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
             writer.scalars({f"train_{k}": v for k, v in host.items()},
                            log_step)
             acc_host = {k: int(v) for k, v in acc.items()}
-            ph_acc = phoneme_accuracy(acc_host["num_phones"],
-                                      acc_host["num_correct"])
-            ph_acc_ns = phoneme_accuracy_no_silence(
-                acc_host["num_phones"], acc_host["num_correct_no_silence"],
-                acc_host["num_silence"])
-            writer.scalar("train_loss/phoneme_accuracy_avg", ph_acc, log_step)
-            writer.scalar("train_loss/phoneme_accuracy_avg_no_sil", ph_acc_ns,
-                          log_step)
+            if acc_host["num_phones"] > 0:
+                # Counters are all-zero when the encoder losses are
+                # disabled (e.g. the TD-only ablation arm) — skip the
+                # accuracy scalars instead of logging 0/0 = NaN.
+                ph_acc = phoneme_accuracy(acc_host["num_phones"],
+                                          acc_host["num_correct"])
+                ph_acc_ns = phoneme_accuracy_no_silence(
+                    acc_host["num_phones"],
+                    acc_host["num_correct_no_silence"],
+                    acc_host["num_silence"])
+                writer.scalar("train_loss/phoneme_accuracy_avg", ph_acc,
+                              log_step)
+                writer.scalar("train_loss/phoneme_accuracy_avg_no_sil",
+                              ph_acc_ns, log_step)
             writer.scalars(step_timer.update(last), log_step)
             ms_per_batch = 1e3 * (time.time() - log_start) / t_cfg.interval_log
             logging.info(
