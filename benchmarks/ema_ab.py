@@ -31,7 +31,7 @@ from ste_gan_tpu.utils.jax_setup import enable_compilation_cache
 
 
 def run_arm(name: str, decay: float, steps: int, out_root: Path,
-            data_cfg: str) -> dict:
+            data_cfg: str, emg_enc_ckpt=None) -> dict:
     cfg = load_config(config="configs/ste_gan_base_gantts.yaml",
                       data=data_cfg)
     cfg.train.max_steps = steps
@@ -40,7 +40,8 @@ def run_arm(name: str, decay: float, steps: int, out_root: Path,
     cfg.train.interval_save = steps  # final only
     cfg.train.generator_ema = decay
     run_dir = out_root / name
-    final_val = train_gan.train(cfg, run_dir, resume=False, debug=False)
+    final_val = train_gan.train(cfg, run_dir, resume=False, debug=False,
+                                emg_enc_ckpt=emg_enc_ckpt)
 
     # metrics.jsonl is one {tag, value, step} record per scalar.
     by_step: dict = {}
@@ -72,6 +73,11 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--decay", type=float, default=0.999)
     ap.add_argument("--data", default="configs/data/synthetic_large.yaml")
+    ap.add_argument("--emg_enc_ckpt", type=Path, default=None,
+                    help="pretrained frozen-encoder checkpoint — required "
+                         "for meaningful val SU (best-model selection); "
+                         "e.g. exp/ablation_r4/encoder_pretrain/"
+                         "best_val_loss_model")
     ap.add_argument("--out_root", type=Path, default=Path("exp/ema_ab"))
     ap.add_argument("--out", type=Path,
                     default=Path(__file__).parent / "ema_ab.json")
@@ -81,9 +87,11 @@ def main() -> None:
     report = {
         "steps": args.steps,
         "data": args.data,
-        "off": run_arm("ema_off", 0.0, args.steps, args.out_root, args.data),
+        "emg_enc_ckpt": str(args.emg_enc_ckpt),
+        "off": run_arm("ema_off", 0.0, args.steps, args.out_root, args.data,
+                       args.emg_enc_ckpt),
         "on": run_arm(f"ema_{args.decay}", args.decay, args.steps,
-                      args.out_root, args.data),
+                      args.out_root, args.data, args.emg_enc_ckpt),
     }
     args.out.write_text(json.dumps(report, indent=2))
     slim = {arm: {k: report[arm][k] for k in
