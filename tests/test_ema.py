@@ -116,3 +116,27 @@ def test_checkpoint_roundtrip_with_ema(tmp_path):
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)),
         restored.gen_ema, state.gen_ema)
+
+
+def test_ema_ab_artifact_justifies_default_off():
+    """The committed chip A/B (benchmarks/ema_ab.py; VERDICT r3 #4): EMA
+    must cost ~nothing per step, and at the measured 3k-step horizon the
+    un-bias-corrected EMA-scored validation must be worse than raw
+    weights — the measurement behind train.generator_ema defaulting to
+    0.0 (reference parity)."""
+    import json
+    from pathlib import Path
+
+    from ste_gan_tpu.config import Config
+
+    path = (Path(__file__).resolve().parents[1] / "benchmarks"
+            / "ema_ab.json")
+    if not path.exists():
+        pytest.skip("EMA A/B artifacts not yet generated")
+    ab = json.loads(path.read_text())
+    off, on = ab["off"], ab["on"]
+    # Step-time parity (elementwise chain fuses into the step): within 5%.
+    assert on["median_ms_per_step"] < 1.05 * off["median_ms_per_step"]
+    # At this horizon the lagging average scores worse — hence default 0.
+    assert on["best_val_su"] > off["best_val_su"]
+    assert Config().train.generator_ema == 0.0
