@@ -18,10 +18,12 @@ from pathlib import Path
 import pytest
 
 ART = Path(__file__).resolve().parents[1] / "benchmarks" / "stability_r3"
-#: Both committed full-budget runs: the host input pipeline (stability_r3)
-#: and the device-resident corpus pipeline (stability_r3_resident) — every
-#: GAN-budget invariant must hold for each.
-GAN_RUNS = ["stability_r3", "stability_r3_resident"]
+#: Committed full-budget runs: the host input pipeline (stability_r3),
+#: the device-resident corpus pipeline (stability_r3_resident), and the
+#: round-4 rerun with the extended validation protocol (envelope L1
+#: live, preemption+resume mid-budget) — every GAN-budget invariant must
+#: hold for each.
+GAN_RUNS = ["stability_r3", "stability_r3_resident", "stability_r4"]
 
 
 @pytest.fixture(scope="module", params=GAN_RUNS)
@@ -158,12 +160,13 @@ def test_mixed_silent_training_learns():
     assert mixed["val_loss_last"] < 0.5 * mixed["val_loss_first"]
 
 
-def test_synthesis_quality_closes_the_loop():
+@pytest.mark.parametrize("run", ["stability_r3", "stability_r4"])
+def test_synthesis_quality_closes_the_loop(run):
     """The product loop: speech features -> generated EMG (production
     bucketed inference, trained 25k model) -> frozen encoder decodes the
     GENERATED signal -> phonemes match ground truth on full-length test
     utterances (benchmarks/synthesis_quality.py)."""
-    path = ART / "synthesis_quality.json"
+    path = ART.parent / run / "synthesis_quality.json"
     if not path.exists():
         pytest.skip("synthesis-quality artifacts not yet generated")
     q = json.loads(path.read_text())
