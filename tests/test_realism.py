@@ -123,6 +123,18 @@ class TestEncoderEmbedding:
 
 
 class TestEvaluateWiring:
+    def test_cli_flag_writes_realism_report(self, gan_run, tmp_path):  # noqa: F811
+        from ste_gan_tpu import evaluate as ev
+
+        run_dir, enc_ckpt = gan_run
+        out = tmp_path / "report.json"
+        report = ev.main(["gan", "--run_dir", str(run_dir),
+                          "--emg_enc_ckpt", str(enc_ckpt),
+                          "--bucket_frames", "16", "--realism",
+                          "--out", str(out)])
+        on_disk = json.loads(out.read_text())
+        assert on_disk["realism"]["fed"] == report["realism"]["fed"]
+
     def test_evaluate_gan_realism_section(self, gan_run):  # noqa: F811
         from ste_gan_tpu import evaluate as ev
 
