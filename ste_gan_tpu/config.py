@@ -237,6 +237,30 @@ class TrainConfig:
     host_rss_restart_gb: float = 48.0
 
 
+#: The TrainConfig dataclass defaults, by field name — the single source of
+#: truth that ``train_setting`` falls back to.
+_TRAIN_DEFAULTS: Dict[str, Any] = {
+    f.name: (f.default_factory() if f.default is dataclasses.MISSING
+             else f.default)
+    for f in dataclasses.fields(TrainConfig)
+}
+
+
+def train_setting(train_cfg: Any, name: str) -> Any:
+    """Read a train-config field, falling back to the ``TrainConfig``
+    dataclass default when the object lacks it.
+
+    Step builders accept duck-typed train configs (legacy snapshots
+    restored from old runs, test fakes): a plain ``getattr(t, name,
+    literal)`` read would put a SECOND copy of the default at every call
+    site, free to drift from the dataclass — ``fused_disc_passes`` did
+    exactly that in round 4 (``config.py`` said True, ``train/gan.py``
+    said False, silently flipping the discriminator pairing path for any
+    field-stripped config). Unknown names raise instead of guessing.
+    """
+    return getattr(train_cfg, name, _TRAIN_DEFAULTS[name])
+
+
 @dataclass
 class Config:
     model_base_dir: str = "exp/ste-gan"

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ste_gan_tpu import constants as C
+from ste_gan_tpu.config import train_setting
 from ste_gan_tpu.ops.conv import SNConv, WNConv, avg_pool1d, reflect_pad_time
 
 LEAKY_SLOPE = 0.1
@@ -226,16 +227,16 @@ def init_emg_discriminators(cfg, dtype=jnp.float32) -> DiscriminatorEnsemble:
         num_emg_channels=cfg.data.num_emg_channels,
         small=bool(cfg.model.discriminator_small),
         dtype=dtype,
-        conv_impl=(getattr(cfg.train, "grouped_conv_impl", None)
+        conv_impl=(train_setting(cfg.train, "grouped_conv_impl")
                    or ("pallas"
-                       if getattr(cfg.train, "pallas_grouped_conv", False)
+                       if train_setting(cfg.train, "pallas_grouped_conv")
                        # Gradient accumulation reshapes microbatches onto
                        # part of the data mesh — the sharding where XLA's
                        # native grouped kernel-grad miscompiles (exactly
                        # 2x; ops/conv.py::_grouped_conv1d_safe_grad), so
                        # accumulating configs take the safe formulation.
                        else ("safe_grad"
-                             if int(getattr(cfg.train, "grad_accum", 1)) > 1
+                             if int(train_setting(cfg.train, "grad_accum")) > 1
                              else "xla"))),
         **(getattr(cfg.model, "discriminator_params", None) or {}),
     )

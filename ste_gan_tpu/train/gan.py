@@ -41,7 +41,7 @@ import optax
 from flax import struct
 
 from ste_gan_tpu import constants as C
-from ste_gan_tpu.config import Config
+from ste_gan_tpu.config import Config, train_setting
 from ste_gan_tpu.losses.encoder_loss import emg_encoder_loss
 from ste_gan_tpu.losses.gan_loss import (
     discriminator_loss, feature_matching_loss, generator_adversarial_loss)
@@ -130,13 +130,13 @@ def make_optimizer(cfg: Config):
       faster in isolation, neutral in-step (benchmarks/opt_probe.py);
     * ``fused_optimizer``: per-leaf Pallas kernel (slowest; kept for A/B).
     """
-    if getattr(cfg.train, "fused_optimizer", False):
+    if train_setting(cfg.train, "fused_optimizer"):
         from ste_gan_tpu.ops.fused_adamw import fused_adamw
 
         return _OptaxAdapter(fused_adamw(
             cfg.train.learning_rate, b1=cfg.train.adam_b1,
             b2=cfg.train.adam_b2, eps=1e-8, weight_decay=1e-2))
-    if getattr(cfg.train, "flat_optimizer", False):
+    if train_setting(cfg.train, "flat_optimizer"):
         return _FlatAdamW(cfg.train.learning_rate, cfg.train.adam_b1,
                           cfg.train.adam_b2)
     return _OptaxAdapter(optax.inject_hyperparams(optax.adamw)(
@@ -199,7 +199,7 @@ def init_state(cfg: Config, models: GANModels, rng: jax.Array) -> GANTrainState:
     disc_vars = jax.jit(partial(models.discriminator.init, train=False))(rng_d, emg)
 
     opt = make_optimizer(cfg)
-    ema_decay = float(getattr(cfg.train, "generator_ema", 0.0))
+    ema_decay = float(train_setting(cfg.train, "generator_ema"))
     return GANTrainState(
         step=jnp.zeros((), jnp.int32),
         gen_params=gen_vars["params"],
@@ -226,7 +226,7 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
     use_wave = bool(t.loss_waveform_error)
     optimizer = make_optimizer(cfg)
     feature_key = cfg.model.speech_feature_type
-    ema_decay = float(getattr(t, "generator_ema", 0.0))
+    ema_decay = float(train_setting(t, "generator_ema"))
 
     def ema_update(old_ema, new_params):
         """EMA of the generator weights (state-driven: a state without the
@@ -243,7 +243,7 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
             mutable=["spectral"])
         return fmaps, mutated["spectral"]
 
-    fused_passes = bool(getattr(t, "fused_disc_passes", False))
+    fused_passes = bool(train_setting(t, "fused_disc_passes"))
 
     def disc_apply_pair(params, spectral, fake_x, real_x):
         """One (fake, real) discriminator evaluation pair.
@@ -320,7 +320,7 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
             aux["loss/feature_matching"] = fm
         return loss, (aux, spectral)
 
-    if bool(getattr(t, "remat", False)):
+    if bool(train_setting(t, "remat")):
         # Rematerialisation: wrap the step's three activation producers in
         # jax.checkpoint so XLA saves nothing across their forward/backward
         # boundaries and recomputes during the pullback. Identical math
@@ -386,7 +386,7 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
         )
         return new_state, metrics
 
-    accum = max(1, int(getattr(t, "grad_accum", 1)))
+    accum = max(1, int(train_setting(t, "grad_accum")))
     if accum == 1:
         return train_step
     if t.batch_size % accum:

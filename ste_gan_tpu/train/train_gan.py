@@ -38,7 +38,7 @@ import numpy as np
 from ste_gan_tpu import constants as C
 from ste_gan_tpu.config import (
     Config, add_eval_hyperparams_to_parser, create_ste_gan_model_name,
-    load_config)
+    load_config, train_setting)
 from ste_gan_tpu.data.loader import Prefetcher, loaders_via_config
 from ste_gan_tpu.infer import EMGSynthesizer
 from ste_gan_tpu.parallel.fsdp import (
@@ -111,8 +111,8 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     checkpoint (or run) directory instead of the run dir's latest."""
     model_directory = Path(model_directory)
     writer = MetricLogger(model_directory)
-    model_parallel = max(1, int(getattr(cfg.train, "model_parallel", 1)))
-    fsdp = bool(getattr(cfg.train, "fsdp", False))
+    model_parallel = max(1, int(train_setting(cfg.train, "model_parallel")))
+    fsdp = bool(train_setting(cfg.train, "fsdp"))
     requested = (cfg.train.data_parallel if cfg.train.data_parallel > 0
                  else len(jax.devices()) // model_parallel)
     data_size = largest_divisor_mesh_size(cfg.train.batch_size, requested)
@@ -167,7 +167,7 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     # descriptors cross the wire and the jitted step gathers the crops
     # on-device (data/device_corpus.py).
     device_corpus = None
-    if getattr(t_cfg, "device_resident_data", False):
+    if train_setting(t_cfg, "device_resident_data"):
         from ste_gan_tpu.data.device_corpus import DeviceCorpus, IndexLoader
         from ste_gan_tpu.parallel.mesh import replicate_sharding
 
@@ -239,7 +239,7 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
     best_su_loss = ckpt.best_su_error()  # survives restarts (+inf if none)
     steps = int(state.step)
     start_steps = steps
-    rss_limit = float(getattr(t_cfg, "host_rss_restart_gb", 0.0) or 0.0)
+    rss_limit = float(train_setting(t_cfg, "host_rss_restart_gb") or 0.0)
     log_start = time.time()
     final_val: Dict[str, float] = {}
     step_timer = StepTimer(
@@ -314,7 +314,7 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
                     if getattr(v, "dtype", None) == np.float32 else v)
                 for k, v in batch.items()}
 
-    dispatch_k = max(1, int(getattr(t_cfg, "steps_per_dispatch", 1)))
+    dispatch_k = max(1, int(train_setting(t_cfg, "steps_per_dispatch")))
 
     def _epoch_batches():
         # Bounded production so the prefetch thread terminates with the run.

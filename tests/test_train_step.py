@@ -231,3 +231,49 @@ class TestFusedDiscPasses:
         for a, b in zip(ref_leaves, fused_leaves):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-3, atol=1e-6)
+
+
+class TestStrippedConfigDefaults:
+    def test_step_builder_matches_dataclass_defaults(self):
+        """A duck-typed config whose train object lacks every TPU-native
+        field (a legacy snapshot) must build EXACTLY the same step as the
+        dataclass defaults — one source of truth (VERDICT r4 #6: a
+        call-site literal silently flipped fused_disc_passes)."""
+        import types
+
+        cfg = tiny_cfg()
+        models, enc_vars = tiny_models(cfg, jax.random.PRNGKey(1))
+        state = init_state(cfg, models, jax.random.PRNGKey(0))
+        batch = synthetic_batch(cfg)
+
+        # Strip every field a pre-extension snapshot would not carry.
+        stripped_names = {
+            "fused_disc_passes", "generator_ema", "remat", "grad_accum",
+            "flat_optimizer", "fused_optimizer", "grouped_conv_impl",
+            "pallas_grouped_conv", "model_parallel", "fsdp",
+            "steps_per_dispatch", "device_resident_data",
+            "host_rss_restart_gb", "transfer_dtype",
+        }
+        train_fields = {f.name: getattr(cfg.train, f.name)
+                        for f in dataclasses.fields(type(cfg.train))
+                        if f.name not in stripped_names}
+        duck = types.SimpleNamespace(
+            model=cfg.model, data=cfg.data, emg_encoder=cfg.emg_encoder,
+            train=types.SimpleNamespace(**train_fields))
+
+        s_full, m_full = jax.jit(make_train_step(cfg, models))(
+            state, batch, enc_vars)
+        s_duck, m_duck = jax.jit(make_train_step(duck, models))(
+            state, batch, enc_vars)
+
+        for key in sorted(m_full):
+            np.testing.assert_array_equal(
+                np.asarray(m_full[key]), np.asarray(m_duck[key]), err_msg=key)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            s_full.gen_params, s_duck.gen_params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            s_full.disc_spectral, s_duck.disc_spectral)
