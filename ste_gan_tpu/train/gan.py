@@ -228,14 +228,25 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
     feature_key = cfg.model.speech_feature_type
     ema_decay = float(train_setting(t, "generator_ema"))
 
-    def ema_update(old_ema, new_params):
+    def ema_update(old_ema, new_params, step):
         """EMA of the generator weights (state-driven: a state without the
-        gen_ema tree — the default — costs nothing)."""
+        gen_ema tree — the default — costs nothing).
+
+        The decay RAMPS: ``d_t = min(decay, (1+t)/(10+t))`` with ``t`` the
+        completed-update count. A constant decay seeded from the init
+        parameters carries a ~1/(1-decay)-step startup lag (the round-4
+        A/B measured exactly that textbook artifact and nothing else —
+        VERDICT r4 #2); the ramp keeps the average tracking the live
+        weights until ~1/(1-decay) steps, then converges to the constant-
+        decay estimator — equivalent to zero-debiasing, but ``gen_ema``
+        stays directly consumable (no decay/step bookkeeping for serving,
+        eval, or export)."""
         if old_ema is None:
             return None
+        t = step.astype(jnp.float32)
+        d = jnp.minimum(jnp.float32(ema_decay), (1.0 + t) / (10.0 + t))
         return jax.tree.map(
-            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
-            old_ema, new_params)
+            lambda e, p: d * e + (1.0 - d) * p, old_ema, new_params)
 
     def disc_apply(params, spectral, x):
         fmaps, mutated = models.discriminator.apply(
@@ -382,7 +393,7 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
             disc_spectral=spectral,
             opt_g=opt_g,
             opt_d=opt_d,
-            gen_ema=ema_update(state.gen_ema, gen_params),
+            gen_ema=ema_update(state.gen_ema, gen_params, state.step),
         )
         return new_state, metrics
 
@@ -483,7 +494,7 @@ def make_train_step(cfg: Config, models: GANModels) -> Callable:
             disc_spectral=spectral,
             opt_g=opt_g,
             opt_d=opt_d,
-            gen_ema=ema_update(state.gen_ema, gen_params),
+            gen_ema=ema_update(state.gen_ema, gen_params, state.step),
         )
         return new_state, metrics
 
