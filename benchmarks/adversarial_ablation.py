@@ -1,4 +1,5 @@
-"""Adversarial ablation: are the discriminators load-bearing? (VERDICT r3 #1)
+"""Adversarial ablation: are the discriminators load-bearing?
+(VERDICT r3 #1; statistically hardened per VERDICT r4 #1 + #4.)
 
 The reference is a GAN (ste_gan/train.py:189-264) — half its machinery is
 the 8-sub-discriminator ensemble, spectral norm, and feature matching —
@@ -9,28 +10,42 @@ DISTRIBUTION-LEVEL metrics no arm optimises directly (realism.py):
 Fréchet encoder distance (FED), pooled TD-feature Wasserstein, and
 log-spectral distance (LSD).
 
-Arms (same corpus, same seed, same budget; only loss configuration
-differs — all config-reachable through the reference's own weight<1e-3
-disable rule):
+Round-5 hardening (the round-4 study was one seed per arm with FED over
+32 utterances — a point estimate with no error bar):
+
+* **>= 3 seeds per arm** (--seeds): every run repeats with a different
+  ``train.random_seed`` (new init AND new data order); the report carries
+  per-arm mean +- std across seeds.
+* **Full-test-split FED** on the 128-utterance hard-corpus test split
+  (4x the round-4 N — Fréchet estimates are biased high at small N).
+* **Paired utterance bootstrap CIs** on the full-vs-no_adv FED/LSD
+  deltas per seed (realism.bootstrap_paired_realism_delta): resamples
+  the test utterances with replacement, applied to real/full/no_adv
+  simultaneously, and recomputes both metrics from per-utterance
+  sufficient statistics.
+* **Hard corpus by default** (data/synthetic.py --hard): the base corpus
+  is invertible by construction and saturates every optimized metric;
+  the hard variant's many-to-one phoneme->EMG mapping restores dynamic
+  range (VERDICT r4 #4).
+
+Arms (same corpus, same budget; only loss configuration differs — all
+config-reachable through the reference's own weight<1e-3 disable rule):
 
   full     adversarial MSE + 7x feature-match + 15x TD + SU + phoneme
   no_adv   adversarial + feature-match OFF (TD + SU + phoneme remain)
   td_only  TD loss only (no discriminators, no frozen-encoder gradients)
 
-Each arm trains on the learnable synthetic_large corpus, then is scored
-on the held-out test partition: reference validation metrics (chunked)
-plus the realism family, from the arm's best-val-SU checkpoint.
+Usage (TPU; ~|seeds| x 3 x <steps> x ~70 ms + compiles, plus the encoder
+pretrain when --emg_enc_ckpt is not given):
 
-Usage (TPU; ~3 x <steps> x ~70 ms + compiles, plus the encoder pretrain
-when --emg_enc_ckpt is not given):
-
-  python -m ste_gan_tpu.data.synthetic --root data/synthetic_large \
-      --num_train 960 --num_valid 48 --num_test 32        # once
-  python benchmarks/adversarial_ablation.py [--steps 5000] \
+  python -m ste_gan_tpu.data.synthetic --root data/synthetic_hard --hard \
+      --num_train 960 --num_valid 48 --num_test 128          # once
+  python benchmarks/adversarial_ablation.py [--steps 5000] [--seeds 0,1,2] \
       [--emg_enc_ckpt <enc_run>/best_val_loss_model]
 
-Writes ``benchmarks/adversarial_ablation.json`` and
-``benchmarks/ablation_r4/REPORT.md``.
+Writes ``benchmarks/adversarial_ablation_r5.json`` and
+``benchmarks/ablation_r5/REPORT.md``. Resumable: finished arms skip via
+``.done``; the bootstrap phase re-synthesizes from checkpoints.
 """
 from __future__ import annotations
 
@@ -38,6 +53,8 @@ import argparse
 import json
 import sys
 from pathlib import Path
+
+import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -80,7 +97,7 @@ def pretrain_encoder(data_cfg: str, out_root: Path, epochs: int) -> Path:
     return ckpt
 
 
-def run_arm(arm: str, steps: int, out_root: Path, data_cfg: str,
+def run_arm(arm: str, seed: int, steps: int, out_root: Path, data_cfg: str,
             emg_enc_ckpt: Path) -> dict:
     from ste_gan_tpu import evaluate as ev
     from ste_gan_tpu.train import train_gan
@@ -88,17 +105,19 @@ def run_arm(arm: str, steps: int, out_root: Path, data_cfg: str,
     cfg = load_config(config="configs/ste_gan_base_gantts.yaml",
                       data=data_cfg)
     cfg.train.max_steps = steps
+    cfg.train.random_seed = seed              # new init + new data order
     cfg.train.interval_valid = max(250, steps // 10)
     cfg.train.interval_sample = 10 * steps   # no plots
     cfg.train.interval_save = steps          # final only
     configure_arm(cfg, arm)
-    run_dir = out_root / arm
+    run_dir = out_root / f"{arm}_s{seed}"
+    eval_cache = run_dir / "test_eval_r5.json"
     if (run_dir / ".done").exists():
-        # Resume a killed study: the arm already trained to completion —
+        # Resume a killed study: the run already trained to completion —
         # skip to scoring. (The tunnel's per-transfer host-memory leak
         # slows dispatch as the single study process ages, so long
         # studies may need more than one invocation.)
-        print(f"arm {arm}: .done exists, skipping training", flush=True)
+        print(f"{arm}_s{seed}: .done exists, skipping training", flush=True)
         final_val = {}
     else:
         final_val = train_gan.train(cfg, run_dir, resume=False, debug=False,
@@ -107,9 +126,16 @@ def run_arm(arm: str, steps: int, out_root: Path, data_cfg: str,
 
     # Score the BEST checkpoint (selected by val SU error, like the
     # reference protocol) on the held-out test partition: the reference
-    # metric set + the distribution-level realism family.
-    report = ev.evaluate_gan(run_dir, emg_enc_ckpt, partition="test",
-                             tag="best", realism=True)
+    # metric set + the distribution-level realism family over the FULL
+    # test split. Cached per run (a resumed study re-invocation skips
+    # straight past finished arms' scoring too).
+    if eval_cache.exists():
+        print(f"{arm}_s{seed}: reusing cached eval", flush=True)
+        report = json.loads(eval_cache.read_text())
+    else:
+        report = ev.evaluate_gan(run_dir, emg_enc_ckpt, partition="test",
+                                 tag="best", realism=True)
+        eval_cache.write_text(json.dumps(report, indent=2))
     val_series = []
     for line in (run_dir / "metrics.jsonl").read_text().splitlines():
         rec = json.loads(line)
@@ -118,6 +144,7 @@ def run_arm(arm: str, steps: int, out_root: Path, data_cfg: str,
                                "su": round(rec["value"], 4)})
     return {
         "arm": arm,
+        "seed": seed,
         "final_val": {k: round(v, 4) for k, v in final_val.items()},
         "val_su_series": val_series,
         "test_chunked": report["chunked"],
@@ -125,106 +152,220 @@ def run_arm(arm: str, steps: int, out_root: Path, data_cfg: str,
     }
 
 
-def write_report(results: dict, out_md: Path) -> None:
-    rows = []
-    header = ("| arm | FED | TD-W1 (mean) | LSD dB | test SU err | "
-              "test TD err | phone acc % |")
-    rows.append(header)
-    rows.append("|---|---|---|---|---|---|---|")
+def bootstrap_full_vs_no_adv(seed: int, out_root: Path, data_cfg: str,
+                             emg_enc_ckpt: Path, n_boot: int) -> dict:
+    """Paired utterance bootstrap of the seed's full-vs-no_adv FED/LSD
+    deltas on the full test split (realism.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ste_gan_tpu import realism as R
+    from ste_gan_tpu.data.dataset import EMGDataset
+    from ste_gan_tpu.evaluate import _vocab_from_run_dir
+    from ste_gan_tpu.train.checkpoint import load_pytree
+    from ste_gan_tpu.train.gan import eval_generator_params, load_trained_state
+
+    sides = {}
+    real_ref = None
+    models = None
+    cfg = None
+    for arm in ("full", "no_adv"):
+        run_dir = out_root / f"{arm}_s{seed}"
+        cfg, models, state = load_trained_state(run_dir, "best")
+        sess_vocab, mode_vocab = _vocab_from_run_dir(run_dir)
+        dataset = EMGDataset(
+            Path(cfg.data.dataset_root), partition="test",
+            session_id_to_idx=sess_vocab, speaking_mode_id_to_idx=mode_vocab,
+            only_include_voiced=True, filter_by_length=False,
+            train_emg_length=cfg.train.chunk_size, strict=cfg.data.strict)
+        real, fake = R.synthesize_real_fake_pairs(
+            cfg, eval_generator_params(state), dataset)
+        if real_ref is None:
+            real_ref = real
+        else:
+            assert all(np.array_equal(a, b) for a, b in zip(real_ref, real)), \
+                "arms must score the same utterances"
+        sides[arm] = fake
+
+    template = jax.jit(lambda r: models.encoder.init(
+        r, jnp.zeros((1, cfg.train.chunk_size, cfg.data.num_emg_channels)),
+        train=False))(jax.random.PRNGKey(0))
+    encoder_variables = load_pytree(Path(emg_enc_ckpt), template)
+    embed_fn = jax.jit(lambda emg: models.encoder.apply(
+        encoder_variables, emg, method="embed"))
+
+    m_real = R.embedding_moment_stats(embed_fn, real_ref)
+    m_full = R.embedding_moment_stats(embed_fn, sides["full"])
+    m_na = R.embedding_moment_stats(embed_fn, sides["no_adv"])
+    psd_r, w = R.per_utterance_psds(real_ref)
+    psd_f, _ = R.per_utterance_psds(sides["full"])
+    psd_n, _ = R.per_utterance_psds(sides["no_adv"])
+    out = R.bootstrap_paired_realism_delta(
+        m_real, m_full, m_na, psd_r, psd_f, psd_n, w,
+        n_boot=n_boot, seed=seed)
+    out["seed"] = seed
+    return out
+
+
+def _mean_std(values):
+    arr = np.asarray(values, np.float64)
+    return {"per_seed": [round(float(v), 4) for v in arr],
+            "mean": round(float(arr.mean()), 4),
+            "std": round(float(arr.std(ddof=1)) if len(arr) > 1 else 0.0, 4)}
+
+
+def aggregate(results: dict, seeds) -> dict:
+    agg = {}
     for arm in ARMS:
-        r = results[arm]
-        rl, ch = r["test_realism"], r["test_chunked"]
-        rows.append(
-            f"| {arm} | {rl['fed']:.3f} | "
-            f"{rl['td_wasserstein']['mean']:.5f} | "
-            f"{rl['log_spectral_distance']['mean_db']:.3f} | "
-            f"{ch['val/speech_unit']:.3f} | {ch['val/multi_td']:.3f} | "
-            f"{ch['val/phoneme_accuracy_avg']:.2f} |")
-    full = results["full"]["test_realism"]
-    no_adv = results["no_adv"]["test_realism"]
-    fed_gain = 1.0 - full["fed"] / no_adv["fed"]
-    lsd_gain = (1.0 - full["log_spectral_distance"]["mean_db"]
-                / no_adv["log_spectral_distance"]["mean_db"])
-    td_full = full["td_wasserstein"]["mean"]
-    td_na = no_adv["td_wasserstein"]["mean"]
-    if fed_gain > 0 and lsd_gain > 0:
+        runs = [results[f"{arm}_s{s}"] for s in seeds]
+        agg[arm] = {
+            "fed": _mean_std([r["test_realism"]["fed"] for r in runs]),
+            "lsd_db": _mean_std(
+                [r["test_realism"]["log_spectral_distance"]["mean_db"]
+                 for r in runs]),
+            "td_w1": _mean_std(
+                [r["test_realism"]["td_wasserstein"]["mean"] for r in runs]),
+            "test_su": _mean_std(
+                [r["test_chunked"]["val/speech_unit"] for r in runs]),
+            "phone_acc": _mean_std(
+                [r["test_chunked"]["val/phoneme_accuracy_avg"]
+                 for r in runs]),
+        }
+    agg["delta_full_minus_no_adv"] = {
+        "fed": _mean_std([agg["full"]["fed"]["per_seed"][i]
+                          - agg["no_adv"]["fed"]["per_seed"][i]
+                          for i in range(len(seeds))]),
+        "lsd_db": _mean_std([agg["full"]["lsd_db"]["per_seed"][i]
+                             - agg["no_adv"]["lsd_db"]["per_seed"][i]
+                             for i in range(len(seeds))]),
+    }
+    return agg
+
+
+def write_report(results: dict, out_md: Path) -> None:
+    seeds = results["seeds"]
+    agg = results["aggregate"]
+    boots = results["bootstrap_full_vs_no_adv"]
+
+    def ms(entry):
+        return f"{entry['mean']:.3f} ± {entry['std']:.3f}"
+
+    rows = ["| arm | FED | LSD dB | TD-W1 (mean) | test SU err | "
+            "phone acc % |",
+            "|---|---|---|---|---|---|"]
+    for arm in ARMS:
+        a = agg[arm]
+        rows.append(f"| {arm} | {ms(a['fed'])} | {ms(a['lsd_db'])} | "
+                    f"{a['td_w1']['mean']:.5f} ± {a['td_w1']['std']:.5f} | "
+                    f"{ms(a['test_su'])} | {ms(a['phone_acc'])} |")
+
+    ci_rows = ["| seed | FED delta [95% CI] | LSD delta dB [95% CI] | "
+               "P(full better, FED) |",
+               "|---|---|---|---|"]
+    fed_all_neg = True
+    lsd_all_neg = True
+    for b in boots:
+        fed, lsd = b["fed"], b["lsd_db"]
+        fed_all_neg &= fed["ci95"][1] < 0
+        lsd_all_neg &= lsd["ci95"][1] < 0
+        ci_rows.append(
+            f"| {b['seed']} | {fed['delta']:.3f} "
+            f"[{fed['ci95'][0]:.3f}, {fed['ci95'][1]:.3f}] | "
+            f"{lsd['delta']:.3f} [{lsd['ci95'][0]:.3f}, {lsd['ci95'][1]:.3f}]"
+            f" | {fed['frac_a_better']:.2f} |")
+
+    d = agg["delta_full_minus_no_adv"]
+    if fed_all_neg and lsd_all_neg and d["fed"]["mean"] < 0:
         verdict = (
-            f"LOAD-BEARING: with every directly-optimized metric matched "
-            f"(SU/TD/phoneme columns), the adversarial arm improves the "
-            f"purely non-optimized realism axes — FED by "
-            f"{100 * fed_gain:.0f}%, spectral texture (LSD) by "
-            f"{100 * lsd_gain:.0f}% — i.e. the discriminators buy "
-            f"distributional realism the paired losses cannot see")
+            "LOAD-BEARING, now with error bars: on every seed the paired "
+            "bootstrap 95% CI of the full-vs-no_adv delta excludes zero "
+            "for BOTH non-optimized realism axes (FED and LSD), and the "
+            "cross-seed means agree — the discriminators buy "
+            "distributional realism the paired losses cannot see")
+    elif d["fed"]["mean"] < 0 and fed_all_neg:
+        verdict = (
+            "LOAD-BEARING on FED (every per-seed CI excludes zero); the "
+            "LSD delta is not seed-robust — see the CI table for the "
+            "honest extent of the claim")
     else:
-        verdict = ("MIXED/NEGATIVE: see per-metric table — the "
-                   "adversarial pathway does not improve FED and LSD "
-                   "together on this corpus")
-    td_note = (
-        f"TD-W1 is the honest mixed axis: {'no_adv' if td_na < td_full else 'full'} "
-        f"is slightly better ({min(td_na, td_full):.5f} vs "
-        f"{max(td_na, td_full):.5f}). Expected — TD-W1 is the "
-        "distributional cousin of the *optimized* TD loss, so the "
-        "no-discriminator arm can dedicate all its capacity to TD "
-        "features; the adversarial arm trades a little of that axis for "
-        "the large FED/LSD gains.")
+        verdict = ("MIXED/NEGATIVE: the per-seed CIs do not consistently "
+                   "favour the adversarial arm — the round-4 single-seed "
+                   "headline does not replicate under seeds + CIs")
+
     out_md.parent.mkdir(parents=True, exist_ok=True)
     out_md.write_text(
-        "# Adversarial ablation (round 4)\n\n"
-        "Three matched runs (same corpus/seed/budget), scored on the test\n"
-        "partition with metrics NO arm optimises directly — Fréchet\n"
-        "encoder distance over pre-head frozen-encoder embeddings, pooled\n"
-        "TD-feature Wasserstein-1, log-spectral distance (realism.py) —\n"
-        "plus the reference validation metrics for context. Lower is\n"
-        "better for all but phone acc.\n\n"
+        "# Adversarial ablation (round 5: seeds + paired bootstrap CIs)\n\n"
+        f"{len(seeds)} seeds per arm (new init + data order each), HARD\n"
+        "synthetic corpus (non-invertible phoneme->EMG; VERDICT r4 #4),\n"
+        "full 128-utterance test split. Scored with metrics NO arm\n"
+        "optimises directly — Fréchet encoder distance over pre-head\n"
+        "frozen-encoder embeddings, log-spectral distance, pooled\n"
+        "TD-feature Wasserstein-1 (realism.py) — plus the reference\n"
+        "validation metrics. Lower is better for all but phone acc.\n\n"
+        "## Per-arm results (mean ± std over seeds)\n\n"
         + "\n".join(rows) + "\n\n"
+        "## full − no_adv deltas (paired utterance bootstrap, per seed)\n\n"
+        + "\n".join(ci_rows) + "\n\n"
+        f"Cross-seed delta: FED {d['fed']['mean']:.3f} ± {d['fed']['std']:.3f},"
+        f" LSD {d['lsd_db']['mean']:.3f} ± {d['lsd_db']['std']:.3f} dB.\n\n"
         f"**Result: {verdict}.**\n\n"
-        f"{td_note}\n\n"
         "td_only calibrates the metric family's dynamic range: with the\n"
         "perceptual pathway removed entirely, FED explodes and phoneme\n"
         "accuracy collapses — the scale against which the full-vs-no_adv\n"
-        "deltas are small-but-real.\n\n"
+        "deltas are judged.\n\n"
         f"Config: steps={results['steps']}, corpus={results['data']},\n"
+        f"seeds={seeds}, n_boot={results['n_boot']},\n"
         f"encoder={results['emg_enc_ckpt']}.\n"
-        "Full numbers: benchmarks/adversarial_ablation.json.\n")
+        "Full numbers: benchmarks/adversarial_ablation_r5.json.\n")
 
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--steps", type=int, default=5000)
-    ap.add_argument("--data", default="configs/data/synthetic_large.yaml")
+    ap.add_argument("--seeds", default="0,1,2",
+                    help="comma-separated train.random_seed values; "
+                         "every arm runs once per seed")
+    ap.add_argument("--data", default="configs/data/synthetic_hard.yaml")
     ap.add_argument("--emg_enc_ckpt", type=Path, default=None,
                     help="pretrained frozen-encoder checkpoint; trains "
                          "one (--pretrain_epochs) when omitted")
     ap.add_argument("--pretrain_epochs", type=int, default=12)
-    ap.add_argument("--out_root", type=Path, default=Path("exp/ablation_r4"))
+    ap.add_argument("--n_boot", type=int, default=200)
+    ap.add_argument("--out_root", type=Path, default=Path("exp/ablation_r5"))
     ap.add_argument("--out", type=Path,
                     default=Path(__file__).parent
-                    / "adversarial_ablation.json")
+                    / "adversarial_ablation_r5.json")
     ap.add_argument("--report", type=Path,
                     default=Path(__file__).parent
-                    / "ablation_r4" / "REPORT.md")
+                    / "ablation_r5" / "REPORT.md")
     args = ap.parse_args()
+    seeds = [int(s) for s in args.seeds.split(",") if s.strip() != ""]
 
     enable_compilation_cache()
     enc_ckpt = args.emg_enc_ckpt or pretrain_encoder(
         args.data, args.out_root, args.pretrain_epochs)
 
-    results = {"steps": args.steps, "data": args.data,
-               "emg_enc_ckpt": str(enc_ckpt)}
-    for arm in ARMS:
-        print(f"=== arm: {arm} ===", flush=True)
-        results[arm] = run_arm(arm, args.steps, args.out_root, args.data,
-                               enc_ckpt)
+    results = {"steps": args.steps, "data": args.data, "seeds": seeds,
+               "n_boot": args.n_boot, "emg_enc_ckpt": str(enc_ckpt)}
+    for seed in seeds:
+        for arm in ARMS:
+            print(f"=== arm: {arm} seed: {seed} ===", flush=True)
+            results[f"{arm}_s{seed}"] = run_arm(
+                arm, seed, args.steps, args.out_root, args.data, enc_ckpt)
+        # Checkpoint partial results after every seed (resumable study).
+        args.out.write_text(json.dumps(results, indent=2))
+
+    results["aggregate"] = aggregate(results, seeds)
+    print("=== paired utterance bootstrap (full vs no_adv) ===", flush=True)
+    results["bootstrap_full_vs_no_adv"] = [
+        bootstrap_full_vs_no_adv(seed, args.out_root, args.data, enc_ckpt,
+                                 args.n_boot)
+        for seed in seeds]
     args.out.write_text(json.dumps(results, indent=2))
     write_report(results, args.report)
-    slim = {arm: {"fed": results[arm]["test_realism"]["fed"],
-                  "lsd_db": results[arm]["test_realism"]
-                  ["log_spectral_distance"]["mean_db"],
-                  "td_w1": results[arm]["test_realism"]
-                  ["td_wasserstein"]["mean"],
-                  "test_su": results[arm]["test_chunked"]
-                  ["val/speech_unit"]}
-            for arm in ARMS}
+    slim = {"aggregate": results["aggregate"],
+            "bootstrap": [{k: b[k] for k in ("seed", "fed", "lsd_db")}
+                          for b in results["bootstrap_full_vs_no_adv"]]}
     print(json.dumps(slim, indent=2))
 
 

@@ -67,7 +67,18 @@ def summarise(series) -> dict:
     return out
 
 
-def write_report(out_dir: Path, summary: dict, title: str) -> None:
+DEFAULT_CORPUS_NOTE = (
+    "One continuous CLI-trainer run on the synthetic_large corpus\n"
+    "(960 train utterances, 4 sessions, fixed global phoneme->EMG/SU\n"
+    "mapping — data/synthetic.py global_maps), full loss set, bf16,\n"
+    "per-epoch exponential LR decay, frozen pre-trained EMG encoder\n"
+    "(99.75% val phoneme accuracy after pre-training), validation every\n"
+    "500 steps — the reference's protocol (ste_gan/train.py:292-378)\n"
+    "at its full 25,000-step budget (configs/ste_gan_base_gantts.yaml).")
+
+
+def write_report(out_dir: Path, summary: dict, title: str,
+                 corpus_note: str = DEFAULT_CORPUS_NOTE) -> None:
     su = summary["val_speech_unit"]
     g = summary["train_loss_generator"]
     d = summary["train_loss_discriminator"]
@@ -76,13 +87,7 @@ def write_report(out_dir: Path, summary: dict, title: str) -> None:
     lines = [
         f"# {title}",
         "",
-        "One continuous CLI-trainer run on the synthetic_large corpus",
-        "(960 train utterances, 4 sessions, fixed global phoneme->EMG/SU",
-        "mapping — data/synthetic.py global_maps), full loss set, bf16,",
-        "per-epoch exponential LR decay, frozen pre-trained EMG encoder",
-        "(99.75% val phoneme accuracy after pre-training), validation every",
-        "500 steps — the reference's protocol (ste_gan/train.py:292-378)",
-        "at its full 25,000-step budget (configs/ste_gan_base_gantts.yaml).",
+        corpus_note,
         "",
         f"* steps: **{summary['steps']}**",
         f"* val speech-unit error: first {su['first']:.4f} -> "
@@ -138,6 +143,10 @@ def main() -> None:
     parser.add_argument("--title", type=str,
                         default="Long-horizon GAN training at the full "
                                 "reference budget (round 3)")
+    parser.add_argument("--corpus_note", type=str,
+                        default=DEFAULT_CORPUS_NOTE,
+                        help="report paragraph describing corpus/protocol "
+                             "(the default describes synthetic_large)")
     args = parser.parse_args()
 
     metrics_path = Path(args.run_dir)
@@ -150,7 +159,7 @@ def main() -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
     shutil.copyfile(metrics_path, out_dir / "metrics.jsonl")
     (out_dir / "summary.json").write_text(json.dumps(summary, indent=2))
-    write_report(out_dir, summary, args.title)
+    write_report(out_dir, summary, args.title, args.corpus_note)
     print(json.dumps({k: v for k, v in summary.items()
                       if k != "val_speech_unit_series"}, indent=2))
 

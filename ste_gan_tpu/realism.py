@@ -170,6 +170,138 @@ def log_spectral_distance(real_psd: np.ndarray, fake_psd: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Per-utterance statistics + paired utterance bootstrap (VERDICT r4 #1:
+# the load-bearing FED/LSD deltas need error bars, not point estimates).
+# ---------------------------------------------------------------------------
+
+
+def embedding_moment_stats(embed_fn: Callable, emg_list: Sequence[np.ndarray],
+                           bucket_frames: int = 64,
+                           hop: int = C.HOPSIZE) -> List[tuple]:
+    """Per-utterance sufficient statistics of the frozen-encoder frame
+    embeddings: ``[(n_i, sum_i [D], scatter_i [D, D]), ...]``. Any subset's
+    Gaussian (mu, cov) — hence its Fréchet distance — aggregates from
+    these in O(D^2) per utterance, which is what makes an utterance-level
+    bootstrap of FED tractable (re-embedding per resample would not be)."""
+    stats = []
+    for emg in emg_list:
+        emg = np.asarray(emg, np.float32)
+        frames = len(emg) // hop
+        if frames == 0:
+            continue
+        pad_frames = _round_up(frames, bucket_frames)
+        padded = np.zeros((1, pad_frames * hop, emg.shape[1]), np.float32)
+        padded[0, : frames * hop] = emg[: frames * hop]
+        emb = np.asarray(embed_fn(jnp.asarray(padded))[0, :frames], np.float64)
+        stats.append((emb.shape[0], emb.sum(axis=0), emb.T @ emb))
+    return stats
+
+
+def _gaussian_from_moments(stats: Sequence[tuple],
+                           idx: Optional[np.ndarray] = None):
+    """(mu, cov) of the pooled frames of the selected utterances (all when
+    ``idx`` is None). Unbiased covariance, matching ``np.cov``."""
+    chosen = stats if idx is None else [stats[i] for i in idx]
+    n = sum(s[0] for s in chosen)
+    total = np.sum([s[1] for s in chosen], axis=0)
+    scatter = np.sum([s[2] for s in chosen], axis=0)
+    mu = total / n
+    cov = (scatter - n * np.outer(mu, mu)) / (n - 1)
+    return mu, cov
+
+
+def fed_from_moments(stats_real: Sequence[tuple], stats_fake: Sequence[tuple],
+                     idx: Optional[np.ndarray] = None) -> float:
+    mu_r, cov_r = _gaussian_from_moments(stats_real, idx)
+    mu_f, cov_f = _gaussian_from_moments(stats_fake, idx)
+    return frechet_distance(mu_r, cov_r, mu_f, cov_f)
+
+
+def per_utterance_psds(emg_list: Sequence[np.ndarray],
+                       fs: int = C.EMG_SAMPLE_RATE, nperseg: int = 256):
+    """Per-utterance Welch PSDs + length weights: ([U, F, C], [U]). The
+    weighted average over any utterance subset equals ``average_psd`` of
+    that subset."""
+    from scipy import signal
+
+    psds, weights = [], []
+    for emg in emg_list:
+        emg = np.asarray(emg, np.float64)
+        if len(emg) < nperseg:
+            continue
+        _, psd = signal.welch(emg, fs=fs, nperseg=nperseg, axis=0)
+        psds.append(psd)
+        weights.append(float(len(emg)))
+    return np.stack(psds), np.asarray(weights)
+
+
+def lsd_from_psds(real_psds, fake_psds, weights,
+                  idx: Optional[np.ndarray] = None) -> float:
+    """Overall LSD (mean |dB|) between length-weighted average PSDs of the
+    selected utterances."""
+    if idx is None:
+        idx = np.arange(len(weights))
+    w = weights[idx][:, None, None]
+    real = (real_psds[idx] * w).sum(axis=0) / w.sum()
+    fake = (fake_psds[idx] * w).sum(axis=0) / w.sum()
+    return log_spectral_distance(real, fake)["mean_db"]
+
+
+def bootstrap_paired_realism_delta(
+    real_moments: Sequence[tuple],
+    fake_a_moments: Sequence[tuple],
+    fake_b_moments: Sequence[tuple],
+    real_psds: np.ndarray,
+    fake_a_psds: np.ndarray,
+    fake_b_psds: np.ndarray,
+    psd_weights: np.ndarray,
+    n_boot: int = 200,
+    seed: int = 0,
+) -> Dict:
+    """Paired utterance-level bootstrap of the FED and LSD deltas between
+    two systems A and B scored on the SAME held-out utterances.
+
+    Each resample draws utterance indices with replacement and applies
+    them to real, A, and B simultaneously (pairing removes the shared
+    utterance-sampling variance from the delta), then recomputes
+    ``FED_A - FED_B`` and ``LSD_A - LSD_B`` from the per-utterance
+    sufficient statistics. Returns point estimates, percentile CIs, and
+    the fraction of resamples favouring A (delta < 0)."""
+    num = len(real_moments)
+    assert len(fake_a_moments) == num and len(fake_b_moments) == num
+    assert len(psd_weights) == num, "PSD stats must align with moments"
+    rng = np.random.default_rng(seed)
+    fed_deltas = np.empty(n_boot)
+    lsd_deltas = np.empty(n_boot)
+    for i in range(n_boot):
+        idx = rng.integers(0, num, size=num)
+        fed_deltas[i] = (fed_from_moments(real_moments, fake_a_moments, idx)
+                         - fed_from_moments(real_moments, fake_b_moments, idx))
+        lsd_deltas[i] = (lsd_from_psds(real_psds, fake_a_psds, psd_weights, idx)
+                         - lsd_from_psds(real_psds, fake_b_psds, psd_weights,
+                                         idx))
+
+    def summary(point, deltas):
+        lo, hi = np.percentile(deltas, [2.5, 97.5])
+        return {"delta": round(float(point), 4),
+                "boot_mean": round(float(deltas.mean()), 4),
+                "ci95": [round(float(lo), 4), round(float(hi), 4)],
+                "frac_a_better": round(float((deltas < 0).mean()), 4)}
+
+    return {
+        "n_utterances": num,
+        "n_boot": n_boot,
+        "fed": summary(fed_from_moments(real_moments, fake_a_moments)
+                       - fed_from_moments(real_moments, fake_b_moments),
+                       fed_deltas),
+        "lsd_db": summary(
+            lsd_from_psds(real_psds, fake_a_psds, psd_weights)
+            - lsd_from_psds(real_psds, fake_b_psds, psd_weights),
+            lsd_deltas),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Orchestration
 # ---------------------------------------------------------------------------
 
@@ -217,12 +349,14 @@ def realism_from_signals(real_list: Sequence[np.ndarray],
     return report
 
 
-def realism_report(cfg, models, gen_params, encoder_variables, dataset,
-                   bucket_frames: int = 64,
-                   max_utterances: Optional[int] = None) -> Dict:
-    """Synthesize every utterance of ``dataset`` through the production
-    inference path and score generated vs real EMG with the full metric
-    family (evaluate.py ``gan --realism``)."""
+def synthesize_real_fake_pairs(cfg, gen_params, dataset,
+                               bucket_frames: int = 64,
+                               max_utterances: Optional[int] = None,
+                               ) -> tuple:
+    """Run every utterance of ``dataset`` through the production inference
+    path; return aligned ``(real_list, fake_list)`` trimmed to equal
+    per-utterance lengths (iteration order = dataset order, so two
+    systems' lists pair up utterance-by-utterance)."""
     from ste_gan_tpu.infer import EMGSynthesizer
 
     synth = EMGSynthesizer.from_config(cfg, gen_params, bucket=bucket_frames)
@@ -243,10 +377,21 @@ def realism_report(cfg, models, gen_params, encoder_variables, dataset,
         t = min(len(real), len(fake))
         real_list.append(real[:t])
         fake_list.append(np.asarray(fake[:t], np.float32))
+    return real_list, fake_list
 
+
+def realism_report(cfg, models, gen_params, encoder_variables, dataset,
+                   bucket_frames: int = 64,
+                   max_utterances: Optional[int] = None) -> Dict:
+    """Synthesize every utterance of ``dataset`` through the production
+    inference path and score generated vs real EMG with the full metric
+    family (evaluate.py ``gan --realism``)."""
+    real_list, fake_list = synthesize_real_fake_pairs(
+        cfg, gen_params, dataset, bucket_frames=bucket_frames,
+        max_utterances=max_utterances)
     embed_fn = jax.jit(lambda emg: models.encoder.apply(
         encoder_variables, emg, method="embed"))
     report = realism_from_signals(real_list, fake_list, embed_fn=embed_fn,
                                   bucket_frames=bucket_frames)
-    report["num_utterances"] = n
+    report["num_utterances"] = len(real_list)
     return report
