@@ -440,6 +440,7 @@ def train(cfg: Config, model_directory: Path, resume: bool, debug: bool,
             writer.scalars({f"train_{k}": v for k, v in host.items()},
                            log_step)
             acc_host = {k: int(v) for k, v in acc.items()}
+            ph_acc = ph_acc_ns = float("nan")  # encoder losses disabled
             if acc_host["num_phones"] > 0:
                 # Counters are all-zero when the encoder losses are
                 # disabled (e.g. the TD-only ablation arm) — skip the

@@ -1,5 +1,6 @@
 """End-to-end smoke test of the GAN training runtime on a synthetic corpus:
 run dir protocol (.done, config.yaml, vocab JSONs), checkpointing, resume."""
+import json
 from pathlib import Path
 
 import numpy as np
@@ -233,3 +234,28 @@ def test_steps_per_dispatch_matches_single_step(corpus, tmp_path):
         np.testing.assert_allclose(
             runs[2][key], runs[1][key], rtol=2e-3, atol=1e-4,
             err_msg=f"{key} diverged between K=2 and K=1 dispatch")
+
+
+def test_td_only_configuration_trains_through_the_loop(corpus, tmp_path):
+    """The TD-only loss configuration (encoder losses AND adversarial
+    pathway disabled — the ablation's td_only arm) must run through the
+    FULL trainer loop: with all phoneme counters zero, the interval-log
+    path previously read an unbound ph_acc (crashed the round-5 ablation
+    campaign at td_only's first logged step)."""
+    cfg = tiny_cfg(corpus)
+    cfg.train.loss_adversarial = ""
+    cfg.train.loss_feat_match_error = False
+    cfg.train.loss_feat_match_weight = 0.0
+    cfg.train.loss_speech_unit_error = False
+    cfg.train.loss_speech_unit_weight = 0.0
+    cfg.train.loss_phoneme_error = False
+    cfg.train.loss_phoneme_weight = 0.0
+    run_dir = tmp_path / "run_td_only"
+    val = train_gan.train(cfg, run_dir, resume=False, debug=False)
+    assert (run_dir / ".done").exists()
+    assert np.isfinite(val["val/multi_td"])
+    # No phoneme-accuracy train scalars were logged (0/0 is skipped).
+    tags = {json.loads(line)["tag"]
+            for line in (run_dir / "metrics.jsonl").read_text().splitlines()}
+    assert "train_loss/phoneme_accuracy_avg" not in tags
+    assert "train_loss/multi_td" in tags
