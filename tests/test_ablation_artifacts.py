@@ -1,12 +1,14 @@
-"""Machine-checked invariants of the committed adversarial-ablation study
-(benchmarks/adversarial_ablation.json, produced on the real TPU by
-benchmarks/adversarial_ablation.py — VERDICT r3 #1).
+"""Machine-checked invariants of the ROUND-4 adversarial-ablation study
+(benchmarks/adversarial_ablation.json — VERDICT r3 #1; historical: one
+seed per arm on the synthetic_large corpus, FED over 32 utterances).
 
 The claim under test: the discriminators are LOAD-BEARING, not just
 correct. Three matched runs (full / no_adv / td_only) scored on held-out
 data with distribution-level metrics no arm optimises directly. These
 assertions re-check the committed result on every test run without
-re-training."""
+re-training. The statistically hardened round-5 study (>=3 seeds, full
+test split, paired bootstrap CIs, hard corpus) is pinned separately in
+tests/test_ablation_r5_artifacts.py."""
 import json
 from pathlib import Path
 
