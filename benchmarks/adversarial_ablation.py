@@ -120,7 +120,9 @@ def run_arm(arm: str, seed: int, steps: int, out_root: Path, data_cfg: str,
         print(f"{arm}_s{seed}: .done exists, skipping training", flush=True)
         final_val = {}
     else:
-        final_val = train_gan.train(cfg, run_dir, resume=False, debug=False,
+        # resume=True: a re-invoked study picks up a preemption/stall
+        # checkpoint mid-run (restore_latest is a no-op on a fresh dir).
+        final_val = train_gan.train(cfg, run_dir, resume=True, debug=False,
                                     emg_enc_ckpt=emg_enc_ckpt)
     cfg.save(run_dir / "config.yaml")
 

@@ -70,6 +70,41 @@ def test_bootstrap_structure(study):
             assert lo - 1e-6 <= b[key]["boot_mean"] <= hi + 1e-6
 
 
+def test_headline_fed_intervals_do_not_overlap(study):
+    """The committed result: the adversarial arm's FED beats no_adv with
+    NON-OVERLAPPING cross-seed intervals (mean +- 2 std) — the round-4
+    point estimate now has error bars and survives them."""
+    full, na = study["aggregate"]["full"]["fed"], study["aggregate"]["no_adv"]["fed"]
+    assert full["mean"] + 2 * full["std"] < na["mean"] - 2 * na["std"]
+
+
+def test_every_seed_bootstrap_ci_excludes_zero(study):
+    """Paired utterance bootstrap: on EVERY seed, the 95% CI of both the
+    FED and LSD full-minus-no_adv deltas sits entirely below zero."""
+    for b in study["bootstrap_full_vs_no_adv"]:
+        assert b["fed"]["ci95"][1] < 0, b
+        assert b["lsd_db"]["ci95"][1] < 0, b
+        assert b["fed"]["frac_a_better"] == 1.0
+
+
+def test_td_only_calibrates_the_scale(study):
+    agg = study["aggregate"]
+    assert agg["td_only"]["fed"]["mean"] > 5 * agg["no_adv"]["fed"]["mean"]
+    assert agg["td_only"]["phone_acc"]["mean"] < 50.0
+
+
+def test_optimized_axes_stay_close(study):
+    """The deltas live on the non-optimized axes: the directly optimized
+    SU error and phoneme accuracy differ between the perceptual arms by
+    far less than the realism axes do (SU within 15%, accuracy within 4
+    points) — which is why the realism family was needed at all."""
+    agg = study["aggregate"]
+    su_f, su_n = agg["full"]["test_su"]["mean"], agg["no_adv"]["test_su"]["mean"]
+    assert abs(su_f - su_n) < 0.15 * max(su_f, su_n)
+    assert abs(agg["full"]["phone_acc"]["mean"]
+               - agg["no_adv"]["phone_acc"]["mean"]) < 4.0
+
+
 def test_report_committed_and_consistent(study):
     report = ART.parent / "ablation_r5" / "REPORT.md"
     assert report.exists()
