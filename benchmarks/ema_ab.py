@@ -42,6 +42,9 @@ def run_arm(name: str, decay: float, steps: int, out_root: Path,
     run_dir = out_root / name
     final_val = train_gan.train(cfg, run_dir, resume=False, debug=False,
                                 emg_enc_ckpt=emg_enc_ckpt)
+    # Snapshot the arm's config: downstream tools (load_trained_state,
+    # benchmarks/ema_tail_check.py) consume the run-dir layout.
+    cfg.save(run_dir / "config.yaml")
 
     # metrics.jsonl is one {tag, value, step} record per scalar.
     by_step: dict = {}
