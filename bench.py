@@ -80,6 +80,11 @@ def main() -> None:
     if os.environ.get("STE_BENCH_VMAP_CONV"):
         # Grouped convs as vmapped dense convs (ops/conv.py impl="vmap").
         cfg.train.grouped_conv_impl = "vmap"
+    if os.environ.get("STE_BENCH_PADDED_CONV"):
+        # Per-group in-channels zero-padded to full 128-lane tiles
+        # (ops/conv.py impl="padded") — the VERDICT r4 #3 relayout
+        # experiment: trade zero-FLOPs for XLA's grouped-conv copies.
+        cfg.train.grouped_conv_impl = "padded"
     if os.environ.get("STE_BENCH_FUSED_OPT"):
         cfg.train.fused_optimizer = True
     if os.environ.get("STE_BENCH_BATCH"):

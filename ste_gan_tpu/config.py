@@ -188,9 +188,10 @@ class TrainConfig:
     #: math (same conv semantics, f32 accumulation).
     pallas_grouped_conv: bool = False
     #: Grouped-conv lowering override: "xla" (feature_group_count, default),
-    #: "pallas" (slab kernel), or "vmap" (groups as a vmapped leading axis
-    #: of dense convs). Takes precedence over pallas_grouped_conv when set;
-    #: identical math for all three. A/B perf knob.
+    #: "pallas" (slab kernel), "vmap" (groups as a vmapped leading axis
+    #: of dense convs), or "padded" (per-group in-channels zero-padded to
+    #: full 128-lane tiles). Takes precedence over pallas_grouped_conv when
+    #: set; identical math for all four. A/B perf knob.
     grouped_conv_impl: Optional[str] = None
     #: Host prefetch depth for the input pipeline.
     prefetch: int = 2

@@ -150,6 +150,26 @@ def _conv(x, kernel, strides, padding, dilation, groups, dtype,
         return grouped_conv1d(
             x.astype(dtype), kernel.astype(dtype),
             stride=strides[0], padding=tuple(padding[0]), groups=groups)
+    if impl == "padded" and rank == 1 and groups > 1:
+        # A/B experiment (VERDICT r4 #3): zero-pad each group's
+        # in-channels to a full 128-lane tile so the grouped contraction
+        # maps onto whole MXU tiles, betting the relayout copies XLA's
+        # feature_group_count lowering inserts cost more than the extra
+        # (zero-contribution) FLOPs. Identical math: padded input
+        # channels are zero AND the padded kernel rows are zero.
+        b, t, c = x.shape
+        g = groups
+        k, cg, f = kernel.shape
+        cgp = max(128, -(-cg // 128) * 128)
+        xg = x.astype(dtype).reshape(b, t, g, cg)
+        xg = jnp.pad(xg, ((0, 0), (0, 0), (0, 0), (0, cgp - cg)))
+        kg = jnp.pad(kernel.astype(dtype), ((0, 0), (0, cgp - cg), (0, 0)))
+        dn = jax.lax.conv_dimension_numbers(
+            (b, t, g * cgp), kg.shape, _DIM_NUMBERS[1])
+        return jax.lax.conv_general_dilated(
+            xg.reshape(b, t, g * cgp), kg, window_strides=strides,
+            padding=padding, rhs_dilation=dilation, dimension_numbers=dn,
+            feature_group_count=groups)
     if impl == "vmap" and rank == 1 and groups > 1:
         # A/B alternative to feature_group_count: groups become a vmapped
         # leading axis of DENSE convs. Trades XLA's grouped-conv relayout
